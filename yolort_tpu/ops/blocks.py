@@ -1,0 +1,582 @@
+"""TPU-native YOLOv5 building blocks.
+
+Functional re-design of the block zoo the reference keeps in
+``yolort/v5/models/common.py`` (Conv:42, Bottleneck:94, BottleneckCSP:119,
+C3:149, SPP:176, SPPF:190, Focus:210, C3TR:362 in the reference repo).
+
+Design notes (TPU-first, not a port):
+  * NHWC activations / HWIO weights, the layouts XLA tiles best onto the MXU.
+  * Blocks are frozen dataclasses that carry *static* configuration only.
+    Parameters live in a separate pytree (nested dicts of jnp arrays), so the
+    whole model is a pure function ``apply(params, x)`` — jit/vmap/pjit
+    compose for free.
+  * BatchNorm is an eval-time affine transform; parameters are ingested
+    **folded into the convolution** (see ``fuse_conv_bn``) so inference runs a
+    single conv + bias + activation that XLA fuses into one MXU pass.  The
+    unfused form ({'w','gamma','beta','mean','var'}) is also understood by
+    ``Conv.__call__`` for training.
+  * ``SPP(k=(5,9,13))`` is computed as three chained 5x5 max-pools (the SPPF
+    identity: pool5(pool5(x)) == pool9(x)) — same parameters, ~7x less pooling
+    work.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+# BatchNorm epsilon used across the reference model zoo
+# (yolort/models/darknetv6.py:111 sets bn.eps = 1e-3).
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: Optional[int] = None) -> int:
+    """'same' padding rule (reference: v5/models/common.py:35)."""
+    return k // 2 if p is None else p
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def hardswish(x):
+    # torch.nn.Hardswish: x * relu6(x + 3) / 6
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)
+
+
+def leaky_relu01(x):
+    return jnp.where(x >= 0, x, 0.1 * x)
+
+
+_ACTS = {
+    "silu": silu,
+    "hardswish": hardswish,
+    "leaky_relu": leaky_relu01,
+    "none": lambda x: x,
+}
+
+
+def act_for_version(version: str) -> str:
+    """r4.0+/r6.0 use SiLU, r3.1 uses Hardswish (common.py:62-65)."""
+    return "hardswish" if version == "r3.1" else "silu"
+
+
+# ---------------------------------------------------------------------------
+# parameter initialisation helpers (torch-compatible distributions)
+# ---------------------------------------------------------------------------
+
+def _conv_kaiming_uniform(key, shape):
+    """torch.nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) => U(-b, b)
+    with b = 1/sqrt(fan_in).  shape is HWIO."""
+    kh, kw, cin, _ = shape
+    fan_in = kh * kw * cin
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def fuse_conv_bn(w, gamma, beta, mean, var, eps: float = BN_EPS):
+    """Fold eval-mode BatchNorm into conv weight/bias.
+
+    Equivalent of the reference's fuse_conv_and_bn
+    (yolort/v5/utils/torch_utils.py:218), done on HWIO numpy/jnp arrays at
+    checkpoint-ingestion time.
+    """
+    w = np.asarray(w, dtype=np.float64)
+    gamma = np.asarray(gamma, dtype=np.float64)
+    beta = np.asarray(beta, dtype=np.float64)
+    mean = np.asarray(mean, dtype=np.float64)
+    var = np.asarray(var, dtype=np.float64)
+    scale = gamma / np.sqrt(var + eps)  # (O,)
+    w_f = w * scale  # broadcast over last (O) dim of HWIO
+    b_f = beta - mean * scale
+    return w_f.astype(np.float32), b_f.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# core conv
+# ---------------------------------------------------------------------------
+
+def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1):
+    """Plain NHWC/HWIO convolution."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+@dataclass(frozen=True)
+class Conv:
+    """Conv2d + (folded) BatchNorm + activation.
+
+    Reference: ``Conv`` in v5/models/common.py:42.  Parameters:
+      fused:   {'w': (kh,kw,cin/g,cout), 'b': (cout,)}
+      unfused: {'w', 'gamma', 'beta', 'mean', 'var'}  (training / raw import)
+    """
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: str = "silu"
+
+    def init(self, key) -> Params:
+        w = _conv_kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2))
+        return {
+            "w": w,
+            "gamma": jnp.ones((self.c2,), jnp.float32),
+            "beta": jnp.zeros((self.c2,), jnp.float32),
+            "mean": jnp.zeros((self.c2,), jnp.float32),
+            "var": jnp.ones((self.c2,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, x):
+        y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        else:
+            scale = p["gamma"] * jax.lax.rsqrt(p["var"] + BN_EPS)
+            bias = p["beta"] - p["mean"] * scale
+            y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+        return _ACTS[self.act](y)
+
+
+@dataclass(frozen=True)
+class Conv2dOnly:
+    """Bare conv2d with optional bias and no BN/act (used inside BottleneckCSP
+    and for detection-head 1x1 convs). Params {'w'} or {'w','b'}."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    bias: bool = True
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        w = _conv_kaiming_uniform(kw, (self.k, self.k, self.c1 // self.g, self.c2))
+        out = {"w": w}
+        if self.bias:
+            fan_in = self.k * self.k * (self.c1 // self.g)
+            bound = 1.0 / math.sqrt(fan_in)
+            out["b"] = jax.random.uniform(kb, (self.c2,), jnp.float32, -bound, bound)
+        return out
+
+    def __call__(self, p: Params, x):
+        y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+
+
+@dataclass(frozen=True)
+class BatchNorm:
+    """Standalone eval-mode BatchNorm (used by BottleneckCSP on the concat).
+    Params {'gamma','beta','mean','var'}."""
+
+    c: int
+
+    def init(self, key) -> Params:
+        del key
+        return {
+            "gamma": jnp.ones((self.c,), jnp.float32),
+            "beta": jnp.zeros((self.c,), jnp.float32),
+            "mean": jnp.zeros((self.c,), jnp.float32),
+            "var": jnp.ones((self.c,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, x):
+        scale = p["gamma"] * jax.lax.rsqrt(p["var"] + BN_EPS)
+        bias = p["beta"] - p["mean"] * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# composite blocks
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Bottleneck:
+    """Standard bottleneck (common.py:94): 1x1 -> 3x3 (+residual)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+
+    def __post_init__(self):
+        c_ = int(self.c2 * self.e)
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, 1, 1, act=self.act))
+        object.__setattr__(self, "cv2", Conv(c_, self.c2, 3, 1, g=self.g, act=self.act))
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+
+    def __call__(self, p: Params, x):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x))
+        return x + y if (self.shortcut and self.c1 == self.c2) else y
+
+
+@dataclass(frozen=True)
+class C3:
+    """CSP bottleneck with 3 convolutions (common.py:149)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+
+    def __post_init__(self):
+        c_ = int(self.c2 * self.e)
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, 1, 1, act=self.act))
+        object.__setattr__(self, "cv2", Conv(self.c1, c_, 1, 1, act=self.act))
+        object.__setattr__(self, "cv3", Conv(2 * c_, self.c2, 1, act=self.act))
+        object.__setattr__(
+            self,
+            "m",
+            tuple(Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, act=self.act) for _ in range(self.n)),
+        )
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, 3 + self.n)
+        return {
+            "cv1": self.cv1.init(keys[0]),
+            "cv2": self.cv2.init(keys[1]),
+            "cv3": self.cv3.init(keys[2]),
+            "m": {str(i): b.init(keys[3 + i]) for i, b in enumerate(self.m)},
+        }
+
+    def __call__(self, p: Params, x):
+        y1 = self.cv1(p["cv1"], x)
+        for i, b in enumerate(self.m):
+            y1 = b(p["m"][str(i)], y1)
+        y2 = self.cv2(p["cv2"], x)
+        return self.cv3(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
+
+
+@dataclass(frozen=True)
+class BottleneckCSP:
+    """r3.1-era CSP bottleneck (common.py:119): raw convs + BN + LeakyReLU."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def __post_init__(self):
+        c_ = int(self.c2 * self.e)
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, 1, 1, act="hardswish"))
+        object.__setattr__(self, "cv2", Conv2dOnly(self.c1, c_, 1, 1, bias=False))
+        object.__setattr__(self, "cv3", Conv2dOnly(c_, c_, 1, 1, bias=False))
+        object.__setattr__(self, "cv4", Conv(2 * c_, self.c2, 1, 1, act="hardswish"))
+        object.__setattr__(self, "bn", BatchNorm(2 * c_))
+        object.__setattr__(
+            self,
+            "m",
+            tuple(
+                Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, act="hardswish")
+                for _ in range(self.n)
+            ),
+        )
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, 5 + self.n)
+        return {
+            "cv1": self.cv1.init(keys[0]),
+            "cv2": self.cv2.init(keys[1]),
+            "cv3": self.cv3.init(keys[2]),
+            "cv4": self.cv4.init(keys[3]),
+            "bn": self.bn.init(keys[4]),
+            "m": {str(i): b.init(keys[5 + i]) for i, b in enumerate(self.m)},
+        }
+
+    def __call__(self, p: Params, x):
+        y1 = self.cv1(p["cv1"], x)
+        for i, b in enumerate(self.m):
+            y1 = b(p["m"][str(i)], y1)
+        y1 = self.cv3(p["cv3"], y1)
+        y2 = self.cv2(p["cv2"], x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = leaky_relu01(self.bn(p["bn"], y))
+        return self.cv4(p["cv4"], y)
+
+
+def max_pool_same(x, k: int):
+    """k x k max pool, stride 1, 'same' (pad k//2), NHWC."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+@dataclass(frozen=True)
+class SPP:
+    """Spatial pyramid pooling (common.py:176).
+
+    For the default k=(5,9,13) the pools are computed as a chain of three 5x5
+    pools (SPPF identity, common.py:190-207) — bit-identical output, same
+    parameter layout, less HBM traffic.
+    """
+
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    act: str = "silu"
+
+    def __post_init__(self):
+        c_ = self.c1 // 2
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, 1, 1, act=self.act))
+        object.__setattr__(self, "cv2", Conv(c_ * (len(self.k) + 1), self.c2, 1, 1, act=self.act))
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+
+    def __call__(self, p: Params, x):
+        x = self.cv1(p["cv1"], x)
+        if self.k == (5, 9, 13):
+            y1 = max_pool_same(x, 5)
+            y2 = max_pool_same(y1, 5)
+            y3 = max_pool_same(y2, 5)
+            pooled = [y1, y2, y3]
+        else:
+            pooled = [max_pool_same(x, k) for k in self.k]
+        return self.cv2(p["cv2"], jnp.concatenate([x] + pooled, axis=-1))
+
+
+# SPPF has the exact same parameters as SPP(k=(5,9,13)); alias for clarity.
+def SPPF(c1: int, c2: int, k: int = 5, act: str = "silu") -> SPP:
+    assert k == 5
+    return SPP(c1, c2, (5, 9, 13), act=act)
+
+
+def space_to_depth(x):
+    """(N,H,W,C) -> (N,H/2,W/2,4C) with YOLOv5 Focus channel order.
+
+    The reference concatenates [x[::2,::2], x[1::2,::2], x[::2,1::2],
+    x[1::2,1::2]] over channels (common.py:237-240, NCHW).  We reproduce that
+    exact channel ordering in NHWC so imported weights line up.
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    # order: (dh, dw) in [(0,0), (1,0), (0,1), (1,1)] -> stack then merge with C
+    parts = [x[:, :, 0, :, 0, :], x[:, :, 1, :, 0, :], x[:, :, 0, :, 1, :], x[:, :, 1, :, 1, :]]
+    return jnp.concatenate(parts, axis=-1)
+
+
+@dataclass(frozen=True)
+class Focus:
+    """Focus wh into channel space then conv (common.py:210)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: str = "silu"
+
+    def __post_init__(self):
+        object.__setattr__(self, "conv", Conv(self.c1 * 4, self.c2, self.k, self.s, self.p, self.g, act=self.act))
+
+    def init(self, key) -> Params:
+        return {"conv": self.conv.init(key)}
+
+    def __call__(self, p: Params, x):
+        return self.conv(p["conv"], space_to_depth(x))
+
+
+def upsample2x(x):
+    """Nearest-neighbour 2x upsample, NHWC (reference: nn.Upsample(scale_factor=2))."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# transformer blocks (C3TR / TAN variant)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Linear:
+    cin: int
+    cout: int
+    bias: bool = True
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / math.sqrt(self.cin)
+        out = {"w": jax.random.uniform(k1, (self.cin, self.cout), jnp.float32, -bound, bound)}
+        if self.bias:
+            out["b"] = jax.random.uniform(k2, (self.cout,), jnp.float32, -bound, bound)
+        return out
+
+    def __call__(self, p: Params, x):
+        y = x @ p["w"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+
+
+@dataclass(frozen=True)
+class TransformerLayer:
+    """LayerNorm-free transformer layer (common.py:308).
+
+    Matches torch.nn.MultiheadAttention semantics with in/out projections.
+    Params: q,k,v (Linear no bias), in_proj_w/in_proj_b/out_proj (attention),
+    fc1, fc2.
+    """
+
+    c: int
+    num_heads: int
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 7)
+        lin = Linear(self.c, self.c, bias=False)
+        # nn.MultiheadAttention: in_proj (3c, c) xavier_uniform, out_proj Linear
+        bound = math.sqrt(6.0 / (self.c + 3 * self.c))
+        in_proj_w = jax.random.uniform(ks[3], (3 * self.c, self.c), jnp.float32, -bound, bound)
+        out_proj = Linear(self.c, self.c, bias=True)
+        return {
+            "q": lin.init(ks[0]),
+            "k": lin.init(ks[1]),
+            "v": lin.init(ks[2]),
+            "in_proj_w": in_proj_w,
+            "in_proj_b": jnp.zeros((3 * self.c,), jnp.float32),
+            "out_proj": out_proj.init(ks[4]),
+            "fc1": lin.init(ks[5]),
+            "fc2": lin.init(ks[6]),
+        }
+
+    def __call__(self, p: Params, x):
+        # x: (L, N, C) to mirror torch MultiheadAttention's default layout
+        c, h = self.c, self.num_heads
+        lin = Linear(c, c, bias=False)
+        q = lin(p["q"], x)
+        k = lin(p["k"], x)
+        v = lin(p["v"], x)
+        wq, wk, wv = jnp.split(p["in_proj_w"].astype(x.dtype), 3, axis=0)
+        bq, bk, bv = jnp.split(p["in_proj_b"].astype(x.dtype), 3, axis=0)
+        q = q @ wq.T + bq
+        k = k @ wk.T + bk
+        v = v @ wv.T + bv
+        L, N, _ = q.shape
+        hd = c // h
+
+        def split_heads(t):  # (L,N,C) -> (N*h, L, hd)
+            return t.reshape(L, N * h, hd).transpose(1, 0, 2)
+
+        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        attn = jax.nn.softmax((qh * (1.0 / math.sqrt(hd))) @ kh.transpose(0, 2, 1), axis=-1)
+        out = attn @ vh  # (N*h, L, hd)
+        out = out.transpose(1, 0, 2).reshape(L, N, c)
+        out_proj = Linear(c, c, bias=True)
+        x = out_proj(p["out_proj"], out) + x
+        x = lin(p["fc2"], lin(p["fc1"], x)) + x
+        return x
+
+
+@dataclass(frozen=True)
+class TransformerBlock:
+    """Vision-transformer block over flattened feature map (common.py:334)."""
+
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+
+    def __post_init__(self):
+        conv = Conv(self.c1, self.c2, act="silu") if self.c1 != self.c2 else None
+        object.__setattr__(self, "conv", conv)
+        object.__setattr__(self, "linear", Linear(self.c2, self.c2, bias=True))
+        object.__setattr__(
+            self, "tr", tuple(TransformerLayer(self.c2, self.num_heads) for _ in range(self.num_layers))
+        )
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, 2 + self.num_layers)
+        out = {"linear": self.linear.init(keys[0])}
+        if self.conv is not None:
+            out["conv"] = self.conv.init(keys[1])
+        out["tr"] = {str(i): t.init(keys[2 + i]) for i, t in enumerate(self.tr)}
+        return out
+
+    def __call__(self, p: Params, x):
+        if self.conv is not None:
+            x = self.conv(p["conv"], x)
+        n, h, w, c = x.shape
+        # reference flattens NCHW to (H*W, N, C); NHWC flatten gives same token order
+        tokens = x.reshape(n, h * w, c).transpose(1, 0, 2)
+        tokens = tokens + self.linear(p["linear"], tokens)
+        for i, t in enumerate(self.tr):
+            tokens = t(p["tr"][str(i)], tokens)
+        return tokens.transpose(1, 0, 2).reshape(n, h, w, c)
+
+
+@dataclass(frozen=True)
+class C3TR:
+    """C3 with a TransformerBlock inner (common.py:362)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def __post_init__(self):
+        c_ = int(self.c2 * self.e)
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, 1, 1, act="silu"))
+        object.__setattr__(self, "cv2", Conv(self.c1, c_, 1, 1, act="silu"))
+        object.__setattr__(self, "cv3", Conv(2 * c_, self.c2, 1, act="silu"))
+        object.__setattr__(self, "m", TransformerBlock(c_, c_, 4, self.n))
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 4)
+        return {
+            "cv1": self.cv1.init(ks[0]),
+            "cv2": self.cv2.init(ks[1]),
+            "cv3": self.cv3.init(ks[2]),
+            "m": self.m.init(ks[3]),
+        }
+
+    def __call__(self, p: Params, x):
+        y1 = self.m(p["m"], self.cv1(p["cv1"], x))
+        y2 = self.cv2(p["cv2"], x)
+        return self.cv3(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
