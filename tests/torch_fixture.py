@@ -1,0 +1,248 @@
+"""Test-only torch oracle: a minimal ultralytics-style YOLOv5 graph.
+
+Used to (a) fabricate checkpoints in the exact pickled layout ultralytics
+ships (flat ``model.N`` Sequential, Detect head with anchor buffers, ``yaml``
+dict attr) and (b) compute reference forward outputs to pin numerical parity
+of the JAX stack.  Written fresh as a fixture — this is the *test oracle*,
+not product code.
+
+Class __module__ is spoofed to 'models.common'/'models.yolo' so pickles
+exercise the stub-unpickling path in yolort_tpu.models._checkpoint.
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+
+
+def _autopad(k, p=None):
+    return k // 2 if p is None else p
+
+
+class FConv(nn.Module):
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1):
+        super().__init__()
+        self.conv = nn.Conv2d(c1, c2, k, s, _autopad(k, p), groups=g, bias=False)
+        self.bn = nn.BatchNorm2d(c2, eps=1e-3)
+        self.act = nn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class FBottleneck(nn.Module):
+    def __init__(self, c1, c2, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = FConv(c1, c_, 1, 1)
+        self.cv2 = FConv(c_, c2, 3, 1)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class FC3(nn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = FConv(c1, c_, 1, 1)
+        self.cv2 = FConv(c1, c_, 1, 1)
+        self.cv3 = FConv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*[FBottleneck(c_, c_, shortcut, e=1.0) for _ in range(n)])
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class FSPPF(nn.Module):
+    def __init__(self, c1, c2, k=5):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = FConv(c1, c_, 1, 1)
+        self.cv2 = FConv(c_ * 4, c2, 1, 1)
+        self.m = nn.MaxPool2d(kernel_size=k, stride=1, padding=k // 2)
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.m(x)
+        y2 = self.m(y1)
+        return self.cv2(torch.cat([x, y1, y2, self.m(y2)], 1))
+
+
+class FConcat(nn.Module):
+    def __init__(self, d=1):
+        super().__init__()
+        self.d = d
+
+    def forward(self, xs):
+        return torch.cat(xs, self.d)
+
+
+class FDetect(nn.Module):
+    def __init__(self, nc, anchors, ch):
+        super().__init__()
+        self.nc = nc
+        self.no = nc + 5
+        self.nl = len(anchors)
+        self.na = len(anchors[0]) // 2
+        self.register_buffer("anchors", torch.tensor(anchors).float().view(self.nl, -1, 2))
+        self.m = nn.ModuleList(nn.Conv2d(c, self.no * self.na, 1) for c in ch)
+
+    def forward(self, feats):
+        """Returns decoded (bs, total, no) like ultralytics inference."""
+        z = []
+        for i, x in enumerate(feats):
+            x = self.m[i](x)
+            bs, _, ny, nx = x.shape
+            x = x.view(bs, self.na, self.no, ny, nx).permute(0, 1, 3, 4, 2)
+            y = x.sigmoid()
+            yv, xv = torch.meshgrid(torch.arange(ny).float(), torch.arange(nx).float())
+            grid = torch.stack((xv, yv), 2).view(1, 1, ny, nx, 2)
+            anchor_grid = (self.anchors[i] * self.stride[i]).view(1, self.na, 1, 1, 2)
+            xy = (y[..., 0:2] * 2 - 0.5 + grid) * self.stride[i]
+            wh = (y[..., 2:4] * 2) ** 2 * anchor_grid
+            y = torch.cat((xy, wh, y[..., 4:]), 4)
+            z.append(y.view(bs, -1, self.no))
+        return torch.cat(z, 1)
+
+
+class FModel(nn.Module):
+    """Flat-Sequential DetectionModel lookalike (P5, r6.0 layout)."""
+
+    def __init__(self, nc=7, dm=0.33, wm=0.25, anchors=None):
+        super().__init__()
+        if anchors is None:
+            anchors = [
+                [10, 13, 16, 30, 33, 23],
+                [30, 61, 62, 45, 59, 119],
+                [116, 90, 156, 198, 373, 326],
+            ]
+
+        def mdiv(v, d=8):
+            nv = max(d, int(v + d / 2) // d * d)
+            return nv + d if nv < 0.9 * v else nv
+
+        def dg(n):
+            return max(round(n * dm), 1)
+
+        c = {k: mdiv(k * wm) for k in (64, 128, 256, 512, 1024)}
+        layers = [
+            FConv(3, c[64], 6, 2, 2),            # 0
+            FConv(c[64], c[128], 3, 2),          # 1
+            FC3(c[128], c[128], dg(3)),          # 2
+            FConv(c[128], c[256], 3, 2),         # 3
+            FC3(c[256], c[256], dg(6)),          # 4
+            FConv(c[256], c[512], 3, 2),         # 5
+            FC3(c[512], c[512], dg(9)),          # 6
+            FConv(c[512], c[1024], 3, 2),        # 7
+            FC3(c[1024], c[1024], dg(3)),        # 8
+            FSPPF(c[1024], c[1024], 5),          # 9
+            FConv(c[1024], c[512], 1, 1),        # 10
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 11
+            FConcat(),                           # 12
+            FC3(c[1024], c[512], dg(3), False),  # 13
+            FConv(c[512], c[256], 1, 1),         # 14
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 15
+            FConcat(),                           # 16
+            FC3(c[512], c[256], dg(3), False),   # 17
+            FConv(c[256], c[256], 3, 2),         # 18
+            FConcat(),                           # 19
+            FC3(c[512], c[512], dg(3), False),   # 20
+            FConv(c[512], c[512], 3, 2),         # 21
+            FConcat(),                           # 22
+            FC3(c[1024], c[1024], dg(3), False), # 23
+            FDetect(nc, anchors, (c[256], c[512], c[1024])),  # 24
+        ]
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0])
+        # ultralytics stores Detect.anchors normalized by stride after build
+        with torch.no_grad():
+            self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
+        self.stride = self.model[-1].stride
+        self.yaml = {"nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors}
+
+    def forward(self, x):
+        m = self.model
+        x1 = m[2](m[1](m[0](x)))
+        p3 = m[4](m[3](x1))
+        p4 = m[6](m[5](p3))
+        p5 = m[9](m[8](m[7](p4)))
+        i10 = m[10](p5)
+        x13 = m[13](m[12]([m[11](i10), p4]))
+        i14 = m[14](x13)
+        x17 = m[17](m[16]([m[15](i14), p3]))  # P3 out
+        x20 = m[20](m[19]([m[18](x17), i14]))  # P4 out
+        x23 = m[23](m[22]([m[21](x20), i10]))  # P5 out
+        return m[24]([x17, x20, x23])
+
+
+def randomize_bn_stats(model: nn.Module, seed: int = 0):
+    """Give BN layers non-trivial running stats so conv+BN folding is
+    actually exercised."""
+    g = torch.Generator().manual_seed(seed)
+    for mod in model.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.copy_(torch.randn(mod.num_features, generator=g) * 0.1)
+            mod.running_var.copy_(torch.rand(mod.num_features, generator=g) * 1.5 + 0.3)
+            with torch.no_grad():
+                mod.weight.copy_(torch.rand(mod.num_features, generator=g) + 0.5)
+                mod.bias.copy_(torch.randn(mod.num_features, generator=g) * 0.1)
+    return model
+
+
+_SPOOF = {
+    FConv: ("models.common", "Conv"),
+    FBottleneck: ("models.common", "Bottleneck"),
+    FC3: ("models.common", "C3"),
+    FSPPF: ("models.common", "SPPF"),
+    FConcat: ("models.common", "Concat"),
+    FDetect: ("models.yolo", "Detect"),
+    FModel: ("models.yolo", "DetectionModel"),
+}
+
+
+def _spoof_ultralytics_modules():
+    """Point fixture classes at the ultralytics module paths and register
+    matching fake modules so pickling succeeds; the fakes are removed before
+    load so unpickling exercises the stub path."""
+    import sys
+    import types
+
+    mods = {}
+    for cls, (mod, name) in _SPOOF.items():
+        cls.__module__ = mod
+        cls.__qualname__ = name
+        cls.__name__ = name
+        m = mods.setdefault(mod, types.ModuleType(mod))
+        setattr(m, name, cls)
+    pkg = types.ModuleType("models")
+    sys.modules["models"] = pkg
+    for name, m in mods.items():
+        sys.modules[name] = m
+        setattr(pkg, name.split(".")[1], m)
+
+
+def _unspoof():
+    import sys
+
+    for name in ("models", "models.common", "models.yolo"):
+        sys.modules.pop(name, None)
+
+
+def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True):
+    """Fabricate an ultralytics-layout checkpoint; returns the float oracle
+    model (same fp16 round-trip as the saved weights when half=True)."""
+    torch.manual_seed(seed)
+    model = FModel(nc=nc, dm=dm, wm=wm)
+    randomize_bn_stats(model, seed)
+    model.eval()
+    _spoof_ultralytics_modules()
+    try:
+        to_save = model.half() if half else model
+        torch.save({"model": to_save, "epoch": -1}, path)
+    finally:
+        _unspoof()
+    return model.float()

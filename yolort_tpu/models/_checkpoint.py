@@ -298,10 +298,18 @@ def load_from_ultralytics(checkpoint_path: str, version: str = "r6.0", fuse: boo
     flat = _seq_children(_children(model)["model"])
     detect = flat[-1]
     det_buf = _buffers_of(detect)
-    strides = [int(s) for s in _np(det_buf["stride"]).tolist()] if "stride" in det_buf else None
-    if strides is None:
-        stride_attr = object.__getattribute__(model, "__dict__").get("stride")
-        strides = [int(s) for s in _np(stride_attr).tolist()]
+    # 'stride' may live as a Detect buffer, a Detect attr, or a model attr
+    # depending on the ultralytics version
+    stride_t = None
+    for candidate in (
+        det_buf.get("stride"),
+        object.__getattribute__(detect, "__dict__").get("stride"),
+        object.__getattribute__(model, "__dict__").get("stride"),
+    ):
+        if candidate is not None:
+            stride_t = candidate
+            break
+    strides = [int(s) for s in _np(stride_t).reshape(-1).tolist()]
     use_p6 = len(strides) == 4
 
     # anchors recomputed from the Detect buffers, not the yaml — auto-anchor

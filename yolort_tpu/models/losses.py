@@ -1,0 +1,216 @@
+"""YOLOv5 training loss, fixed-shape for XLA.
+
+Re-design of ``SetCriterion`` (reference yolort/models/box_head.py:85) and its
+``build_targets`` (:233).  The reference's data-dependent gather/filter
+pipeline (boolean indexing, variable candidate counts) cannot trace under
+jit; here every stage is a *masked fixed-shape* computation:
+
+  targets come padded to (MAX_T, 6) with a validity mask; the anchor-ratio
+  match and the 3-cell neighbor-offset assignment produce a dense
+  (5, MAX_T, A) candidate lattice with masks instead of filtered lists; all
+  reductions are mask-weighted means.
+
+Semantics pinned to the reference:
+  * anchor match: max(r, 1/r).max(-1) < anchor_thresh  (box_head.py:277-278)
+  * neighbor offsets (0,0),(±1,0),(0,±1) gated on cell-fraction < 0.5 and
+    cell index > 1 (box_head.py:251-298)
+  * CIoU box loss (yolort/models/_utils.py:65), BCE objectness with
+    IoU-valued targets and per-level balance [4.0, 1.0, 0.4, 0.1]
+    (box_head.py:127), BCE classification with label smoothing.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolort_tpu.ops.blocks import Params
+
+
+def bbox_ciou(box1, box2, eps: float = 1e-7):
+    """Complete IoU between aligned cxcywh boxes (..., 4).
+
+    Matches reference bbox_iou(x1y1x2y2=False) (_utils.py:65-108)."""
+    b1x1, b1x2 = box1[..., 0] - box1[..., 2] / 2, box1[..., 0] + box1[..., 2] / 2
+    b1y1, b1y2 = box1[..., 1] - box1[..., 3] / 2, box1[..., 1] + box1[..., 3] / 2
+    b2x1, b2x2 = box2[..., 0] - box2[..., 2] / 2, box2[..., 0] + box2[..., 2] / 2
+    b2y1, b2y2 = box2[..., 1] - box2[..., 3] / 2, box2[..., 1] + box2[..., 3] / 2
+
+    inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0) * jnp.clip(
+        jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0
+    )
+    w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+    w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+
+    cw = jnp.maximum(b1x2, b2x2) - jnp.minimum(b1x1, b2x1)
+    ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+    v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
+
+
+def bce_with_logits(logits, targets, pos_weight: float = 1.0):
+    """Elementwise binary cross entropy with logits (torch semantics)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
+
+
+def smooth_bce_targets(eps: float = 0.0) -> Tuple[float, float]:
+    """(reference _utils.py:111)"""
+    return 1.0 - 0.5 * eps, 0.5 * eps
+
+
+@dataclass(frozen=True)
+class YOLOLoss:
+    """Loss config (defaults from reference box_head.py:103-116 and
+    hyp.scratch.yaml)."""
+
+    strides: Tuple[int, ...]
+    anchor_grids: Tuple[Tuple[float, ...], ...]
+    num_classes: int
+    box_gain: float = 0.05
+    cls_gain: float = 0.5
+    obj_gain: float = 1.0
+    cls_pos: float = 1.0
+    obj_pos: float = 1.0
+    anchor_thresh: float = 4.0
+    label_smoothing: float = 0.0
+    gr: float = 1.0
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_grids[0]) // 2
+
+    @property
+    def balance(self) -> Tuple[float, ...]:
+        return (4.0, 1.0, 0.4, 0.1)[: len(self.strides)]
+
+    def __call__(
+        self,
+        head_outputs: Sequence[jax.Array],
+        targets: jax.Array,
+        target_mask: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """
+        head_outputs: per-level (B, H, W, A*(5+nc)) NHWC logits.
+        targets: (MAX_T, 6) rows [img_idx, cls, cx, cy, w, h] (normalized).
+        target_mask: (MAX_T,) validity.
+        Returns {'cls_logits','bbox_regression','objectness'} like the
+        reference (box_head.py:227-231).
+        """
+        na = self.num_anchors
+        nc = self.num_classes
+        smooth_pos, smooth_neg = smooth_bce_targets(self.label_smoothing)
+
+        loss_box = 0.0
+        loss_obj = 0.0
+        loss_cls = 0.0
+
+        t_img = targets[:, 0].astype(jnp.int32)  # (T,)
+        t_cls = targets[:, 1].astype(jnp.int32)
+        t_xy = targets[:, 2:4]
+        t_wh = targets[:, 4:6]
+
+        for li, (out, stride, ag, bal) in enumerate(
+            zip(head_outputs, self.strides, self.anchor_grids, self.balance)
+        ):
+            b, h, w, _ = out.shape
+            k = 5 + nc
+            logits = out.reshape(b, h, w, na, k).astype(jnp.float32)
+            anchors = jnp.asarray(ag, jnp.float32).reshape(na, 2) / stride  # grid units
+
+            # scale targets to this grid
+            gxy = t_xy * jnp.asarray([w, h], jnp.float32)  # (T, 2)
+            gwh = t_wh * jnp.asarray([w, h], jnp.float32)
+
+            # anchor-ratio match: (T, A)
+            r = gwh[:, None, :] / anchors[None, :, :]
+            match = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < self.anchor_thresh
+            match = match & target_mask[:, None]
+
+            # neighbor offsets: lattice (5, T) of per-offset validity
+            g_bias = 0.5
+            fx, fy = gxy[:, 0] % 1.0, gxy[:, 1] % 1.0
+            ix, iy = (w - gxy[:, 0]) % 1.0, (h - gxy[:, 1]) % 1.0
+            off_ok = jnp.stack(
+                [
+                    jnp.ones_like(fx, bool),
+                    (fx < g_bias) & (gxy[:, 0] > 1.0),
+                    (fy < g_bias) & (gxy[:, 1] > 1.0),
+                    (ix < g_bias) & ((w - gxy[:, 0]) > 1.0),
+                    (iy < g_bias) & ((h - gxy[:, 1]) > 1.0),
+                ]
+            )  # (5, T)
+            offsets = (
+                jnp.asarray([[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]], jnp.float32) * g_bias
+            )  # (5, 2)
+
+            # dense candidate lattice (5, T, A)
+            cand = off_ok[:, :, None] & match[None, :, :]
+            gij = jnp.floor(gxy[None, :, :] - offsets[:, None, :])  # (5, T, 2)
+            gi = jnp.clip(gij[..., 0].astype(jnp.int32), 0, w - 1)  # (5, T)
+            gj = jnp.clip(gij[..., 1].astype(jnp.int32), 0, h - 1)
+
+            # flatten lattice -> (5*T*A,)
+            n5, nt = 5, targets.shape[0]
+            c_mask = cand.reshape(-1)
+            c_img = jnp.broadcast_to(t_img[None, :, None], (n5, nt, na)).reshape(-1)
+            c_cls = jnp.broadcast_to(t_cls[None, :, None], (n5, nt, na)).reshape(-1)
+            c_gi = jnp.broadcast_to(gi[:, :, None], (n5, nt, na)).reshape(-1)
+            c_gj = jnp.broadcast_to(gj[:, :, None], (n5, nt, na)).reshape(-1)
+            c_anchor = jnp.broadcast_to(
+                jnp.arange(na)[None, None, :], (n5, nt, na)
+            ).reshape(-1)
+            c_txy = jnp.broadcast_to(gxy[None, :, None, :], (n5, nt, na, 2)).reshape(-1, 2) - jnp.stack(
+                [c_gi, c_gj], axis=-1
+            ).astype(jnp.float32)
+            c_twh = jnp.broadcast_to(gwh[None, :, None, :], (n5, nt, na, 2)).reshape(-1, 2)
+            c_anchor_wh = anchors[c_anchor]
+
+            # gather predictions at candidate cells
+            flat = ((c_img * h + c_gj) * w + c_gi) * na + c_anchor
+            pred = logits.reshape(b * h * w * na, k)[flat]  # (C, k)
+            sig = jax.nn.sigmoid(pred[:, :4])
+            pred_xy = sig[:, :2] * 2.0 - 0.5
+            pred_wh = (sig[:, 2:4] * 2.0) ** 2 * c_anchor_wh
+            pred_box = jnp.concatenate([pred_xy, pred_wh], axis=-1)
+            tgt_box = jnp.concatenate([c_txy, c_twh], axis=-1)
+
+            iou = bbox_ciou(pred_box, tgt_box)  # (C,)
+            n_cand = jnp.maximum(jnp.sum(c_mask), 1)
+            loss_box_l = jnp.sum(jnp.where(c_mask, 1.0 - iou, 0.0)) / n_cand
+            loss_box = loss_box + loss_box_l
+
+            # objectness targets: scatter IoU score into the (B,H,W,A) grid
+            score_iou = jnp.clip(jax.lax.stop_gradient(iou), 0.0)
+            tobj_val = (1.0 - self.gr) + self.gr * score_iou
+            tobj = jnp.zeros((b * h * w * na,), jnp.float32)
+            tobj = tobj.at[jnp.where(c_mask, flat, b * h * w * na)].set(
+                jnp.where(c_mask, tobj_val, 0.0), mode="drop"
+            )
+            obj_logits = logits[..., 4].reshape(-1)
+            loss_obj_l = jnp.mean(bce_with_logits(obj_logits, tobj, self.obj_pos))
+            loss_obj = loss_obj + loss_obj_l * bal
+
+            # classification
+            if nc > 1:
+                t = jnp.full((flat.shape[0], nc), smooth_neg, jnp.float32)
+                t = t.at[jnp.arange(flat.shape[0]), c_cls].set(smooth_pos)
+                cls_bce = bce_with_logits(pred[:, 5:], t, self.cls_pos)
+                loss_cls_l = jnp.sum(jnp.where(c_mask[:, None], cls_bce, 0.0)) / (n_cand * nc)
+                loss_cls = loss_cls + loss_cls_l
+
+        return {
+            "cls_logits": loss_cls * self.cls_gain,
+            "bbox_regression": loss_box * self.box_gain,
+            "objectness": loss_obj * self.obj_gain,
+        }
