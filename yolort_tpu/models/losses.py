@@ -3,20 +3,19 @@
 Re-design of ``SetCriterion`` (reference yolort/models/box_head.py:85) and its
 ``build_targets`` (:233).  The reference's data-dependent gather/filter
 pipeline (boolean indexing, variable candidate counts) cannot trace under
-jit; here every stage is a *masked fixed-shape* computation:
-
-  targets come padded to (MAX_T, 6) with a validity mask; the anchor-ratio
-  match and the 3-cell neighbor-offset assignment produce a dense
-  (5, MAX_T, A) candidate lattice with masks instead of filtered lists; all
-  reductions are mask-weighted means.
+jit; here every stage is a *masked fixed-shape* computation, and — unlike the
+reference's flat (ΣN, 6) target tensor — targets are laid out **per image**
+as (B, T, 5) so the whole loss is batch-major and shards cleanly over a
+'data' mesh axis with zero cross-shard gathers.
 
 Semantics pinned to the reference:
   * anchor match: max(r, 1/r).max(-1) < anchor_thresh  (box_head.py:277-278)
   * neighbor offsets (0,0),(±1,0),(0,±1) gated on cell-fraction < 0.5 and
-    cell index > 1 (box_head.py:251-298)
+    cell coordinate > 1 (box_head.py:251-298)
   * CIoU box loss (yolort/models/_utils.py:65), BCE objectness with
     IoU-valued targets and per-level balance [4.0, 1.0, 0.4, 0.1]
-    (box_head.py:127), BCE classification with label smoothing.
+    (box_head.py:127), BCE classification with label smoothing
+    (_utils.py:111).
 """
 
 from __future__ import annotations
@@ -27,8 +26,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-
-from yolort_tpu.ops.blocks import Params
 
 
 def bbox_ciou(box1, box2, eps: float = 1e-7):
@@ -69,10 +66,26 @@ def smooth_bce_targets(eps: float = 0.0) -> Tuple[float, float]:
     return 1.0 - 0.5 * eps, 0.5 * eps
 
 
+def pad_targets(per_image_targets: Sequence[Dict], max_per_image: int):
+    """List of {'labels': (n,), 'boxes_cxcywh_norm': (n,4)} dicts ->
+    (B, T, 5) [cls, cx, cy, w, h] + (B, T) mask."""
+    import numpy as np
+
+    b = len(per_image_targets)
+    out = np.zeros((b, max_per_image, 5), np.float32)
+    mask = np.zeros((b, max_per_image), bool)
+    for i, t in enumerate(per_image_targets):
+        n = min(len(t["labels"]), max_per_image)
+        out[i, :n, 0] = np.asarray(t["labels"][:n])
+        out[i, :n, 1:] = np.asarray(t["boxes_cxcywh_norm"][:n])
+        mask[i, :n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
 @dataclass(frozen=True)
 class YOLOLoss:
     """Loss config (defaults from reference box_head.py:103-116 and
-    hyp.scratch.yaml)."""
+    v5/data/hyps/hyp.scratch.yaml)."""
 
     strides: Tuple[int, ...]
     anchor_grids: Tuple[Tuple[float, ...], ...]
@@ -102,10 +115,9 @@ class YOLOLoss:
     ) -> Dict[str, jax.Array]:
         """
         head_outputs: per-level (B, H, W, A*(5+nc)) NHWC logits.
-        targets: (MAX_T, 6) rows [img_idx, cls, cx, cy, w, h] (normalized).
-        target_mask: (MAX_T,) validity.
-        Returns {'cls_logits','bbox_regression','objectness'} like the
-        reference (box_head.py:227-231).
+        targets: (B, T, 5) rows [cls, cx, cy, w, h] (boxes normalized to [0,1]).
+        target_mask: (B, T) validity.
+        Returns {'cls_logits','bbox_regression','objectness'} (box_head.py:227).
         """
         na = self.num_anchors
         nc = self.num_classes
@@ -115,99 +127,100 @@ class YOLOLoss:
         loss_obj = 0.0
         loss_cls = 0.0
 
-        t_img = targets[:, 0].astype(jnp.int32)  # (T,)
-        t_cls = targets[:, 1].astype(jnp.int32)
-        t_xy = targets[:, 2:4]
-        t_wh = targets[:, 4:6]
+        bt = targets.shape[0]
+        nt = targets.shape[1]
+        t_cls = targets[..., 0].astype(jnp.int32)  # (B, T)
+        t_xy = targets[..., 1:3]  # (B, T, 2)
+        t_wh = targets[..., 3:5]
 
         for li, (out, stride, ag, bal) in enumerate(
             zip(head_outputs, self.strides, self.anchor_grids, self.balance)
         ):
             b, h, w, _ = out.shape
             k = 5 + nc
-            logits = out.reshape(b, h, w, na, k).astype(jnp.float32)
+            logits = out.reshape(b, h * w * na, k).astype(jnp.float32)
             anchors = jnp.asarray(ag, jnp.float32).reshape(na, 2) / stride  # grid units
 
-            # scale targets to this grid
-            gxy = t_xy * jnp.asarray([w, h], jnp.float32)  # (T, 2)
+            gxy = t_xy * jnp.asarray([w, h], jnp.float32)  # (B, T, 2)
             gwh = t_wh * jnp.asarray([w, h], jnp.float32)
 
-            # anchor-ratio match: (T, A)
-            r = gwh[:, None, :] / anchors[None, :, :]
+            # anchor-ratio match: (B, T, A)
+            r = gwh[:, :, None, :] / anchors[None, None, :, :]
             match = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < self.anchor_thresh
-            match = match & target_mask[:, None]
+            match = match & target_mask[:, :, None]
 
-            # neighbor offsets: lattice (5, T) of per-offset validity
+            # neighbor-offset gating: (B, T, 5)
             g_bias = 0.5
-            fx, fy = gxy[:, 0] % 1.0, gxy[:, 1] % 1.0
-            ix, iy = (w - gxy[:, 0]) % 1.0, (h - gxy[:, 1]) % 1.0
+            fx, fy = gxy[..., 0] % 1.0, gxy[..., 1] % 1.0
+            ixf, iyf = (w - gxy[..., 0]) % 1.0, (h - gxy[..., 1]) % 1.0
             off_ok = jnp.stack(
                 [
                     jnp.ones_like(fx, bool),
-                    (fx < g_bias) & (gxy[:, 0] > 1.0),
-                    (fy < g_bias) & (gxy[:, 1] > 1.0),
-                    (ix < g_bias) & ((w - gxy[:, 0]) > 1.0),
-                    (iy < g_bias) & ((h - gxy[:, 1]) > 1.0),
-                ]
-            )  # (5, T)
+                    (fx < g_bias) & (gxy[..., 0] > 1.0),
+                    (fy < g_bias) & (gxy[..., 1] > 1.0),
+                    (ixf < g_bias) & ((w - gxy[..., 0]) > 1.0),
+                    (iyf < g_bias) & ((h - gxy[..., 1]) > 1.0),
+                ],
+                axis=-1,
+            )
             offsets = (
                 jnp.asarray([[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]], jnp.float32) * g_bias
             )  # (5, 2)
 
-            # dense candidate lattice (5, T, A)
-            cand = off_ok[:, :, None] & match[None, :, :]
-            gij = jnp.floor(gxy[None, :, :] - offsets[:, None, :])  # (5, T, 2)
-            gi = jnp.clip(gij[..., 0].astype(jnp.int32), 0, w - 1)  # (5, T)
+            # dense candidate lattice (B, T, 5, A), flattened to (B, C)
+            cand = off_ok[..., :, None] & match[:, :, None, :]  # (B,T,5,A)
+            gij = jnp.floor(gxy[:, :, None, :] - offsets[None, None, :, :])  # (B,T,5,2)
+            gi = jnp.clip(gij[..., 0].astype(jnp.int32), 0, w - 1)  # (B,T,5)
             gj = jnp.clip(gij[..., 1].astype(jnp.int32), 0, h - 1)
 
-            # flatten lattice -> (5*T*A,)
-            n5, nt = 5, targets.shape[0]
-            c_mask = cand.reshape(-1)
-            c_img = jnp.broadcast_to(t_img[None, :, None], (n5, nt, na)).reshape(-1)
-            c_cls = jnp.broadcast_to(t_cls[None, :, None], (n5, nt, na)).reshape(-1)
-            c_gi = jnp.broadcast_to(gi[:, :, None], (n5, nt, na)).reshape(-1)
-            c_gj = jnp.broadcast_to(gj[:, :, None], (n5, nt, na)).reshape(-1)
-            c_anchor = jnp.broadcast_to(
-                jnp.arange(na)[None, None, :], (n5, nt, na)
-            ).reshape(-1)
-            c_txy = jnp.broadcast_to(gxy[None, :, None, :], (n5, nt, na, 2)).reshape(-1, 2) - jnp.stack(
-                [c_gi, c_gj], axis=-1
-            ).astype(jnp.float32)
-            c_twh = jnp.broadcast_to(gwh[None, :, None, :], (n5, nt, na, 2)).reshape(-1, 2)
-            c_anchor_wh = anchors[c_anchor]
+            c = nt * 5 * na
+            c_mask = cand.reshape(bt, c)
+            a_idx = jnp.broadcast_to(jnp.arange(na)[None, None, None, :], cand.shape)
+            gi_b = jnp.broadcast_to(gi[..., None], cand.shape)
+            gj_b = jnp.broadcast_to(gj[..., None], cand.shape)
+            cell = ((gj_b * w + gi_b) * na + a_idx).reshape(bt, c)  # (B, C)
 
-            # gather predictions at candidate cells
-            flat = ((c_img * h + c_gj) * w + c_gi) * na + c_anchor
-            pred = logits.reshape(b * h * w * na, k)[flat]  # (C, k)
-            sig = jax.nn.sigmoid(pred[:, :4])
-            pred_xy = sig[:, :2] * 2.0 - 0.5
-            pred_wh = (sig[:, 2:4] * 2.0) ** 2 * c_anchor_wh
+            c_txy = (
+                jnp.broadcast_to(gxy[:, :, None, None, :], cand.shape + (2,))
+                - jnp.stack([gi_b, gj_b], axis=-1).astype(jnp.float32)
+            ).reshape(bt, c, 2)
+            c_twh = jnp.broadcast_to(gwh[:, :, None, None, :], cand.shape + (2,)).reshape(bt, c, 2)
+            c_cls = jnp.broadcast_to(t_cls[:, :, None, None], cand.shape).reshape(bt, c)
+            c_anchor_wh = anchors[a_idx.reshape(bt, c)]
+
+            # gather predictions at candidate cells (batch-major, no
+            # cross-image indexing)
+            pred = jnp.take_along_axis(logits, cell[..., None], axis=1)  # (B, C, k)
+            sig = jax.nn.sigmoid(pred[..., :4])
+            pred_xy = sig[..., :2] * 2.0 - 0.5
+            pred_wh = (sig[..., 2:4] * 2.0) ** 2 * c_anchor_wh
             pred_box = jnp.concatenate([pred_xy, pred_wh], axis=-1)
             tgt_box = jnp.concatenate([c_txy, c_twh], axis=-1)
 
-            iou = bbox_ciou(pred_box, tgt_box)  # (C,)
+            iou = bbox_ciou(pred_box, tgt_box)  # (B, C)
             n_cand = jnp.maximum(jnp.sum(c_mask), 1)
-            loss_box_l = jnp.sum(jnp.where(c_mask, 1.0 - iou, 0.0)) / n_cand
-            loss_box = loss_box + loss_box_l
+            loss_box = loss_box + jnp.sum(jnp.where(c_mask, 1.0 - iou, 0.0)) / n_cand
 
-            # objectness targets: scatter IoU score into the (B,H,W,A) grid
+            # objectness: scatter IoU score into each image's (H*W*A,) grid
             score_iou = jnp.clip(jax.lax.stop_gradient(iou), 0.0)
-            tobj_val = (1.0 - self.gr) + self.gr * score_iou
-            tobj = jnp.zeros((b * h * w * na,), jnp.float32)
-            tobj = tobj.at[jnp.where(c_mask, flat, b * h * w * na)].set(
-                jnp.where(c_mask, tobj_val, 0.0), mode="drop"
-            )
-            obj_logits = logits[..., 4].reshape(-1)
-            loss_obj_l = jnp.mean(bce_with_logits(obj_logits, tobj, self.obj_pos))
+            tobj_val = jnp.where(c_mask, (1.0 - self.gr) + self.gr * score_iou, 0.0)
+            drop_cell = jnp.where(c_mask, cell, h * w * na)
+
+            def scatter_one(idx, val):
+                return jnp.zeros((h * w * na,), jnp.float32).at[idx].set(val, mode="drop")
+
+            tobj = jax.vmap(scatter_one)(drop_cell, tobj_val)  # (B, H*W*A)
+            loss_obj_l = jnp.mean(bce_with_logits(logits[..., 4], tobj, self.obj_pos))
             loss_obj = loss_obj + loss_obj_l * bal
 
-            # classification
+            # classification over candidate subset
             if nc > 1:
-                t = jnp.full((flat.shape[0], nc), smooth_neg, jnp.float32)
-                t = t.at[jnp.arange(flat.shape[0]), c_cls].set(smooth_pos)
-                cls_bce = bce_with_logits(pred[:, 5:], t, self.cls_pos)
-                loss_cls_l = jnp.sum(jnp.where(c_mask[:, None], cls_bce, 0.0)) / (n_cand * nc)
-                loss_cls = loss_cls + loss_cls_l
+                onehot = jax.nn.one_hot(c_cls, nc, dtype=jnp.float32)
+                t = smooth_neg + (smooth_pos - smooth_neg) * onehot
+                cls_bce = bce_with_logits(pred[..., 5:], t, self.cls_pos)
+                loss_cls = loss_cls + jnp.sum(
+                    jnp.where(c_mask[..., None], cls_bce, 0.0)
+                ) / (n_cand * nc)
 
         return {
             "cls_logits": loss_cls * self.cls_gain,

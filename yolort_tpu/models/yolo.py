@@ -49,6 +49,7 @@ class YOLO:
     detections_per_img: int = 300
     pre_nms_topk: int = 4096
     nms_tile_size: int = 256
+    nms_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     def __post_init__(self):
         strides = self.strides or (P6_STRIDES if self.use_p6 else DEFAULT_STRIDES)
@@ -125,6 +126,7 @@ class YOLO:
             detections_per_img=self.detections_per_img,
             pre_nms_topk=self.pre_nms_topk,
             nms_tile_size=self.nms_tile_size,
+            nms_impl=self.nms_impl,
         )
 
     def with_thresholds(self, score_thresh=None, nms_thresh=None, detections_per_img=None,

@@ -117,6 +117,25 @@ def greedy_nms_mask(
     return alive[:k]
 
 
+def nms_keep_mask(
+    boxes: jax.Array,
+    valid: jax.Array,
+    iou_thresh: float,
+    tile_size: int = 256,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch greedy NMS to the Pallas TPU kernel or the XLA fallback.
+
+    impl: 'auto' (Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'."""
+    if impl != "xla":
+        from yolort_tpu.ops.pallas.nms_kernel import pallas_nms_available, pallas_nms_mask
+
+        k = boxes.shape[0]
+        if impl == "pallas" or (pallas_nms_available() and k % tile_size == 0):
+            return pallas_nms_mask(boxes, valid, iou_thresh, tile=tile_size)
+    return greedy_nms_mask(boxes, valid, iou_thresh, tile_size=tile_size)
+
+
 class Detections(NamedTuple):
     """Padded, fixed-shape detection results (per image or batched)."""
 
@@ -136,6 +155,7 @@ def _single_image_nms(
     detections_per_img: int,
     pre_nms_topk: int,
     nms_tile_size: int = 256,
+    nms_impl: str = "auto",
 ) -> Detections:
     """pred: (Na, 5+nc) decoded [cx,cy,w,h,obj,cls...] for ONE image."""
     boxes_all = cxcywh_to_xyxy(pred[:, :4])
@@ -155,7 +175,7 @@ def _single_image_nms(
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
     offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
 
-    keep = greedy_nms_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size)
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size, impl=nms_impl)
 
     # compact kept candidates (already score-ordered) into D padded slots
     d = detections_per_img
@@ -178,6 +198,7 @@ def batched_postprocess(
     detections_per_img: int = 300,
     pre_nms_topk: int = 4096,
     nms_tile_size: int = 256,
+    nms_impl: str = "auto",
 ) -> Detections:
     """Batched in-graph NMS postprocess.
 
@@ -195,5 +216,6 @@ def batched_postprocess(
         detections_per_img=detections_per_img,
         pre_nms_topk=pre_nms_topk,
         nms_tile_size=nms_tile_size,
+        nms_impl=nms_impl,
     )
     return jax.vmap(fn)(pred_logits)

@@ -1,0 +1,7 @@
+from yolort_tpu.parallel.mesh import (  # noqa: F401
+    data_parallel_infer,
+    data_parallel_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
