@@ -48,6 +48,7 @@ class YOLO:
     nms_thresh: float = 0.45
     detections_per_img: int = 300
     pre_nms_topk: int = 4096
+    pre_nms_anchors: Optional[int] = None  # None => pre_nms_topk (exact)
     nms_tile_size: int = 256
     nms_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
@@ -125,6 +126,7 @@ class YOLO:
             nms_thresh=self.nms_thresh,
             detections_per_img=self.detections_per_img,
             pre_nms_topk=self.pre_nms_topk,
+            pre_nms_anchors=self.pre_nms_anchors,
             nms_tile_size=self.nms_tile_size,
             nms_impl=self.nms_impl,
         )

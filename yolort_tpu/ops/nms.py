@@ -26,7 +26,7 @@ for TensorRT (relay/trt_graphsurgeon.py:223-244).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,19 +154,52 @@ def _single_image_nms(
     nms_thresh: float,
     detections_per_img: int,
     pre_nms_topk: int,
+    pre_nms_anchors: Optional[int] = None,
     nms_tile_size: int = 256,
     nms_impl: str = "auto",
+    topk_impl: str = "topk",  # 'topk' | 'sort' (libtpu TopK-emitter workaround)
 ) -> Detections:
-    """pred: (Na, 5+nc) decoded [cx,cy,w,h,obj,cls...] for ONE image."""
+    """pred: (Na, 5+nc) decoded [cx,cy,w,h,obj,cls...] for ONE image.
+
+    Candidate selection is two-stage to keep top_k off the full (Na*nc)
+    score matrix (a 25200*80=2M-element sort dominates the whole pipeline on
+    TPU): first the top ``pre_nms_anchors`` anchors by best-class score,
+    then the top ``pre_nms_topk`` (anchor, class) pairs among those.  Exact
+    whenever every surviving pair's anchor ranks within pre_nms_anchors by
+    max score — guaranteed when pre_nms_anchors >= pre_nms_topk since each
+    anchor contributes >= 1 pair at least as large as any of its pairs.
+    """
     boxes_all = cxcywh_to_xyxy(pred[:, :4])
     scores_all = pred[:, 5:] * pred[:, 4:5]  # obj * cls (box_head.py:357)
 
     na = pred.shape[0]
     k = min(pre_nms_topk, na * num_classes)
-    flat = scores_all.reshape(-1)
+    # k1 >= k makes the two-stage selection exact (see docstring).  The +8
+    # sidesteps a libtpu TopK-emitter crash on the exact shape
+    # (1, nc*k) with k=4096 (TransformWindow check failure in fusion_util).
+    k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
+
+    def select_topk(values, kk):
+        if topk_impl == "sort":
+            # sort-based selection: the libtpu TopK emitter miscompiles some
+            # batch-1 fused shapes (fusion_util.cc TransformWindow /
+            # pipeline_emitter.cc span_size aborts); full argsort uses the
+            # (solid) sort emitter instead.
+            order = jnp.argsort(-values)
+            idx = order[:kk]
+            return values[idx], idx
+        return jax.lax.top_k(values, kk)
+
+    # stage 1: best-class score per anchor, top-k1 anchors
+    per_anchor = jnp.max(scores_all, axis=-1)
+    _, anchor_sel = select_topk(per_anchor, k1)  # (k1,)
+    sel_scores = scores_all[anchor_sel]  # (k1, nc)
+
+    # stage 2: top-k (anchor, class) pairs among selected anchors
+    flat = sel_scores.reshape(-1)
     flat = jnp.where(flat > score_thresh, flat, -1.0)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
-    anchor_idx = top_idx // num_classes
+    top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
+    anchor_idx = anchor_sel[top_idx // num_classes]
     labels = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = boxes_all[anchor_idx]
     valid = top_scores > score_thresh
@@ -197,8 +230,10 @@ def batched_postprocess(
     nms_thresh: float = 0.45,
     detections_per_img: int = 300,
     pre_nms_topk: int = 4096,
+    pre_nms_anchors: Optional[int] = None,
     nms_tile_size: int = 256,
     nms_impl: str = "auto",
+    topk_impl: str = "auto",
 ) -> Detections:
     """Batched in-graph NMS postprocess.
 
@@ -207,7 +242,15 @@ def batched_postprocess(
 
     Equivalent of the reference PostProcess.forward per-image loop
     (box_head.py:388-429), fully vectorized via vmap.
+
+    topk_impl='auto' uses sort-based selection for small batches on TPU
+    (the libtpu TopK emitter aborts on some batch-1 fused shapes) and
+    lax.top_k otherwise.
     """
+    if topk_impl == "auto":
+        small_batch = pred_logits.shape[0] < 4
+        on_tpu = jax.default_backend() not in ("cpu",)
+        topk_impl = "sort" if (small_batch and on_tpu) else "topk"
     fn = partial(
         _single_image_nms,
         num_classes=num_classes,
@@ -215,7 +258,9 @@ def batched_postprocess(
         nms_thresh=nms_thresh,
         detections_per_img=detections_per_img,
         pre_nms_topk=pre_nms_topk,
+        pre_nms_anchors=pre_nms_anchors,
         nms_tile_size=nms_tile_size,
         nms_impl=nms_impl,
+        topk_impl=topk_impl,
     )
     return jax.vmap(fn)(pred_logits)

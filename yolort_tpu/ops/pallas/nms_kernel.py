@@ -2,16 +2,21 @@
 
 The batched-NMS semantics the reference gets from torchvision / the
 EfficientNMS_TRT plugin (yolort/models/box_head.py:422,
-relay/trt_graphsurgeon.py:212) are realized here as a single on-chip kernel:
+relay/trt_graphsurgeon.py:212) are realized here as a single on-chip kernel
+shaped for Mosaic's layout rules:
 
-  * candidates arrive score-sorted with class offsets already applied;
-  * the (K,K) IoU work is tiled: each T-row tile is first suppressed by all
-    previously-finalized candidates (vectorized (T,K) IoU on the VPU), then
-    self-suppressed with an in-register sequential scan — T steps of (1,T)
-    vector ops with no XLA loop overhead;
-  * tiles whose candidates are all below the score threshold are skipped via
-    @pl.when — since candidates are sorted, cost scales with the *actual*
-    candidate count, not the padded K.
+  * candidates arrive score-sorted with class offsets applied;
+  * per T-tile, suppression *reductions are MXU matmuls*: a (1,K) alive row
+    times a (K,T) IoU>thr matrix yields the "suppressed by earlier
+    candidates" row — no transposes, no cross-lane reshapes, no dynamic
+    value slices (all Mosaic-unsupported);
+  * within a tile, greedy NMS is computed as a convergent fixed-point
+    iteration ``alive <- valid & ~(alive @ sup_upper > 0)``.  Because the
+    suppression matrix is strictly upper-triangular in score order, the
+    iteration provably converges to the sequential-greedy result (earlier
+    indices stabilize first and never flip back);
+  * tiles with no live candidates are skipped via @pl.when, so cost scales
+    with the actual candidate count (candidates are score-sorted).
 
 The pure-XLA fallback (ops.nms.greedy_nms_mask) computes the same result and
 is used on CPU and for verification.
@@ -34,59 +39,72 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _iou_rows(tile_boxes, all_boxes):
-    """IoU between (T,4) and (K,4) -> (T,K), matching ops.nms.box_iou_matrix."""
-    tx1, ty1, tx2, ty2 = (tile_boxes[:, i : i + 1] for i in range(4))  # (T,1)
-    ax1, ay1, ax2, ay2 = (all_boxes[None, :, i] for i in range(4))  # (1,K)
-    lt_x = jnp.maximum(tx1, ax1)
-    lt_y = jnp.maximum(ty1, ay1)
-    rb_x = jnp.minimum(tx2, ax2)
-    rb_y = jnp.minimum(ty2, ay2)
-    inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
-    area_t = jnp.maximum(tx2 - tx1, 0.0) * jnp.maximum(ty2 - ty1, 0.0)
-    area_a = jnp.maximum(ax2 - ax1, 0.0) * jnp.maximum(ay2 - ay1, 0.0)
-    union = area_t + area_a - inter
+def _iou_cols(rows_boxes, cols_boxes_t):
+    """IoU between row boxes (M,4) and column boxes given transposed (4,N).
+
+    Returns (M,N). Static slices only."""
+    rx1 = rows_boxes[:, 0:1]
+    ry1 = rows_boxes[:, 1:2]
+    rx2 = rows_boxes[:, 2:3]
+    ry2 = rows_boxes[:, 3:4]
+    cx1 = cols_boxes_t[0:1, :]
+    cy1 = cols_boxes_t[1:2, :]
+    cx2 = cols_boxes_t[2:3, :]
+    cy2 = cols_boxes_t[3:4, :]
+    inter = jnp.maximum(jnp.minimum(rx2, cx2) - jnp.maximum(rx1, cx1), 0.0) * jnp.maximum(
+        jnp.minimum(ry2, cy2) - jnp.maximum(ry1, cy1), 0.0
+    )
+    area_r = jnp.maximum(rx2 - rx1, 0.0) * jnp.maximum(ry2 - ry1, 0.0)
+    area_c = jnp.maximum(cx2 - cx1, 0.0) * jnp.maximum(cy2 - cy1, 0.0)
+    union = area_r + area_c - inter
     return inter / jnp.maximum(union, 1e-12)
 
 
-def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thresh: float, tile: int):
-    k = boxes_ref.shape[0]
+def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: float, tile: int):
+    k = boxes_t_ref.shape[1]
     num_tiles = k // tile
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1,K)
-    tri_row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    tri_col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-    tri = tri_row < tri_col  # i suppresses j>i
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    )  # row i suppresses col j>i
 
-    # alive state lives in the output ref; init with validity
-    keep_ref[:] = valid_ref[:]
+    # alive state lives in the output ref ((1,K) f32); init with validity
+    keep_ref[:, :] = valid_ref[:, :]
 
     def tile_body(t, _):
-        start = t * tile
-        tile_valid = keep_ref[pl.ds(start, tile)].reshape(1, tile)  # (1,T)
+        start = pl.multiple_of(t * tile, tile)
+        tile_valid = keep_ref[:, pl.ds(start, tile)]  # (1,T) f32
 
-        @pl.when(jnp.any(tile_valid))
+        @pl.when(jnp.sum(tile_valid) > 0.0)
         def _():
-            tile_boxes = boxes_ref[pl.ds(start, tile), :]
-            iou = _iou_rows(tile_boxes, boxes_ref[:, :])  # (T,K)
-            sup = iou > iou_thresh
-            # suppression by earlier, already-final candidates
-            prev_mask = (col_idx < start) & (keep_ref[:].reshape(1, k) != 0)
-            sup_prev = jnp.sum(
-                jnp.where(sup & prev_mask, 1, 0), axis=1, keepdims=True
-            )  # (T,1)
-            alive = (tile_valid.reshape(tile, 1) != 0) & (sup_prev == 0)  # (T,1)
+            tile_cols = boxes_t_ref[:, pl.ds(start, tile)]  # (4,T)
 
-            # in-register sequential greedy within the tile
-            sup_tt = sup[:, start : start + tile] & tri  # (T,T)
+            # --- suppression by earlier, already-final candidates ---------
+            # (1,K) alive-prefix row  x  (K,T) sup matrix  ->  (1,T)
+            iou_kt = _iou_cols(boxes_ref[:, :], tile_cols)  # (K,T)
+            sup_kt = jnp.where(iou_kt > iou_thresh, 1.0, 0.0)
+            prev_row = jnp.where(col_idx < start, keep_ref[:, :], 0.0)  # (1,K)
+            sup_prev = jnp.dot(prev_row, sup_kt, preferred_element_type=jnp.float32)
+            alive = jnp.where(sup_prev > 0.0, 0.0, tile_valid)  # (1,T)
 
-            def inner(i, alive):
-                row = jax.lax.dynamic_slice(sup_tt, (i, 0), (1, tile))  # (1,T)
-                alive_i = jax.lax.dynamic_slice(alive, (i, 0), (1, 1))[0, 0]
-                kill = row.reshape(tile, 1) & alive_i
-                return alive & jnp.logical_not(kill)
+            # --- within-tile greedy via convergent fixed point ------------
+            tile_rows = boxes_ref[pl.ds(start, tile), :]  # (T,4)
+            iou_tt = _iou_cols(tile_rows, tile_cols)  # (T,T)
+            sup_tt = jnp.where((iou_tt > iou_thresh) & tri, 1.0, 0.0)
 
-            alive = jax.lax.fori_loop(0, tile, inner, alive)
-            keep_ref[pl.ds(start, tile)] = alive.reshape(tile).astype(jnp.int32)
+            def cond(state):
+                _, changed = state
+                return changed
+
+            def body(state):
+                a, _ = state
+                suppressed = jnp.dot(a, sup_tt, preferred_element_type=jnp.float32)
+                new_a = jnp.where(suppressed > 0.0, 0.0, alive)
+                return new_a, jnp.any(new_a != a)
+
+            final_alive, _ = jax.lax.while_loop(cond, body, (alive, True))
+            keep_ref[:, pl.ds(start, tile)] = final_alive
 
         return 0
 
@@ -98,21 +116,24 @@ def pallas_nms_mask(boxes: jax.Array, valid: jax.Array, iou_thresh: float, tile:
     """Greedy NMS keep mask on TPU via Pallas.
 
     boxes: (K,4) xyxy score-sorted (class offsets pre-applied); valid: (K,).
-    K must be a multiple of ``tile``. Returns (K,) bool, identical to
-    ops.nms.greedy_nms_mask.
+    K must be a multiple of ``tile`` (itself a multiple of 128 for lane
+    alignment).  Returns (K,) bool, identical to ops.nms.greedy_nms_mask.
     """
     k = boxes.shape[0]
     assert k % tile == 0, f"K={k} must be a multiple of tile={tile}"
+    assert tile % 128 == 0, f"tile={tile} must be a multiple of 128"
+    boxes = boxes.astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_nms_kernel, iou_thresh=iou_thresh, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((k,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(boxes.astype(jnp.float32), valid.astype(jnp.int32))
-    return out != 0
+    )(boxes, boxes.T, valid.astype(jnp.float32).reshape(1, k))
+    return out.reshape(k) > 0.0
 
 
 def pallas_nms_available() -> bool:
