@@ -197,15 +197,22 @@ class COCOEvaluator:
         if not cls_ids:
             return {k: float("nan") for k in ("AP", "AP50", "AP75", "APs", "APm", "APl")}
 
+        import warnings
+
         results: Dict[str, float] = {}
-        ap_all, _ = self._accumulate(cls_ids, AREA_RANGES["all"])
-        results["AP"] = float(np.nanmean(ap_all))
-        results["AP50"] = float(np.nanmean(ap_all[IOU_THRS == 0.5]))
-        results["AP75"] = float(np.nanmean(ap_all[IOU_THRS == 0.75]))
-        for name in ("small", "medium", "large"):
-            ap_a, _ = self._accumulate(cls_ids, AREA_RANGES[name])
-            results[f"AP{name[0]}"] = float(np.nanmean(ap_a))
-        self.per_class_ap = {c: float(np.nanmean(ap_all[:, i])) for i, c in enumerate(cls_ids)}
+        with warnings.catch_warnings():
+            # area buckets with no GT legitimately produce all-NaN slices
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            ap_all, _ = self._accumulate(cls_ids, AREA_RANGES["all"])
+            results["AP"] = float(np.nanmean(ap_all))
+            results["AP50"] = float(np.nanmean(ap_all[IOU_THRS == 0.5]))
+            results["AP75"] = float(np.nanmean(ap_all[IOU_THRS == 0.75]))
+            for name in ("small", "medium", "large"):
+                ap_a, _ = self._accumulate(cls_ids, AREA_RANGES[name])
+                results[f"AP{name[0]}"] = float(np.nanmean(ap_a))
+            self.per_class_ap = {
+                c: float(np.nanmean(ap_all[:, i])) for i, c in enumerate(cls_ids)
+            }
         return results
 
     # ------------------------------------------------------------------

@@ -132,6 +132,36 @@ def decode_level(
     return jnp.concatenate([xy, wh, sig[..., 4:]], axis=-1)
 
 
+def flatten_heads(head_outputs: Sequence[jax.Array], num_anchors: int) -> jax.Array:
+    """Concat per-level logits (B,H,W,A*K) -> (B, total_anchors, K), keeping
+    the model dtype (no decode, no upcast)."""
+    outs = []
+    for ho in head_outputs:
+        n, h, w, c = ho.shape
+        outs.append(ho.reshape(n, h * w * num_anchors, c // num_anchors))
+    return jnp.concatenate(outs, axis=1)
+
+
+def anchor_tables(
+    grid_sizes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    anchor_grids: Sequence[Sequence[float]],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Concatenated per-anchor (grid_xy, anchor_wh, stride) constants, each
+    (total_anchors, ...) aligned with flatten_heads ordering."""
+    grids, shifts = make_grids_and_shifts(grid_sizes, strides, anchor_grids)
+    num_anchors = len(anchor_grids[0]) // 2
+    stride_vecs = [
+        jnp.full((h * w * num_anchors,), float(s), jnp.float32)
+        for (h, w), s in zip(grid_sizes, strides)
+    ]
+    return (
+        jnp.concatenate(grids, axis=0),
+        jnp.concatenate(shifts, axis=0),
+        jnp.concatenate(stride_vecs, axis=0),
+    )
+
+
 def concat_pred_logits(
     head_outputs: Sequence[jax.Array],
     grid_sizes: Sequence[Tuple[int, int]],

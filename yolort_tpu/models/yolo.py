@@ -117,10 +117,17 @@ class YOLO:
     def __call__(self, params: Params, images: jax.Array) -> Detections:
         """Full in-graph inference: images (B,H,W,3) -> padded Detections in
         canvas coordinates (reference YOLO.forward inference branch,
-        yolo.py:141-183)."""
-        pred = self.decode(params, images)
-        return batched_postprocess(
-            pred,
+        yolo.py:141-183).
+
+        Uses the lazy-decode postprocess: candidate selection runs on the
+        model-dtype scores and boxes are decoded only for selected anchors."""
+        from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+        outs = self.head_outputs(params, images)
+        return batched_postprocess_from_heads(
+            outs,
+            self.strides,
+            self.anchor_grids,
             num_classes=self.num_classes,
             score_thresh=self.score_thresh,
             nms_thresh=self.nms_thresh,

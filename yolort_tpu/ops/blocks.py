@@ -433,6 +433,81 @@ def upsample2x(x):
 # transformer blocks (C3TR / TAN variant)
 # ---------------------------------------------------------------------------
 
+def relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def hardsigmoid(x):
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+_ACTS["relu"] = relu
+
+
+@dataclass(frozen=True)
+class SqueezeExcite:
+    """SE attention (MobileNetV3 style: relu -> hardsigmoid gate)."""
+
+    c: int
+    squeeze: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "fc1", Conv2dOnly(self.c, self.squeeze, 1, bias=True))
+        object.__setattr__(self, "fc2", Conv2dOnly(self.squeeze, self.c, 1, bias=True))
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        return {"fc1": self.fc1.init(k1), "fc2": self.fc2.init(k2)}
+
+    def __call__(self, p: Params, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = relu(self.fc1(p["fc1"], s))
+        return x * hardsigmoid(self.fc2(p["fc2"], s))
+
+
+@dataclass(frozen=True)
+class InvertedResidual:
+    """MobileNetV3 inverted residual: expand 1x1 -> depthwise kxk -> SE ->
+    project 1x1, residual when stride 1 and cin == cout."""
+
+    cin: int
+    exp: int
+    cout: int
+    k: int = 3
+    s: int = 1
+    use_se: bool = False
+    act: str = "hardswish"  # 'relu' for the early MNv3 stages
+
+    def __post_init__(self):
+        layers = {}
+        if self.exp != self.cin:
+            layers["expand"] = Conv(self.cin, self.exp, 1, act=self.act)
+        layers["dw"] = Conv(self.exp, self.exp, self.k, self.s, g=self.exp, act=self.act)
+        if self.use_se:
+            layers["se"] = SqueezeExcite(self.exp, _make_div8(self.exp // 4))
+        layers["project"] = Conv(self.exp, self.cout, 1, act="none")
+        object.__setattr__(self, "layers", layers)
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, len(self.layers))
+        return {name: m.init(k) for (name, m), k in zip(self.layers.items(), keys)}
+
+    def __call__(self, p: Params, x):
+        y = x
+        if "expand" in self.layers:
+            y = self.layers["expand"](p["expand"], y)
+        y = self.layers["dw"](p["dw"], y)
+        if "se" in self.layers:
+            y = self.layers["se"](p["se"], y)
+        y = self.layers["project"](p["project"], y)
+        return x + y if (self.s == 1 and self.cin == self.cout) else y
+
+
+def _make_div8(v: int) -> int:
+    nv = max(8, int(v + 4) // 8 * 8)
+    return nv + 8 if nv < 0.9 * v else nv
+
+
 @dataclass(frozen=True)
 class Linear:
     cin: int

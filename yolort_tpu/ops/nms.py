@@ -222,6 +222,128 @@ def _single_image_nms(
     return Detections(out_boxes, out_scores, out_labels, out_valid, num)
 
 
+def _single_image_nms_from_logits(
+    logits: jax.Array,
+    grid: jax.Array,
+    shift: jax.Array,
+    stride: jax.Array,
+    *,
+    num_classes: int,
+    score_thresh: float,
+    nms_thresh: float,
+    detections_per_img: int,
+    pre_nms_topk: int,
+    pre_nms_anchors: Optional[int],
+    nms_tile_size: int,
+    nms_impl: str,
+    topk_impl: str,
+) -> Detections:
+    """Lazy-decode postprocess for ONE image.
+
+    logits: (Na, 5+nc) raw head logits in model dtype (e.g. bf16); grid /
+    shift: (Na, 2); stride: (Na,).  Candidate *selection* runs on the cheap
+    low-precision scores; boxes and exact f32 scores are computed only for
+    the <= k1 selected anchors — the (Na, 4) fp32 box materialization the
+    eager path pays (reference decodes everything up front,
+    box_head.py:328-348) never happens.
+    """
+    na = logits.shape[0]
+    k = min(pre_nms_topk, na * num_classes)
+    k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
+
+    def select_topk(values, kk):
+        if topk_impl == "sort":
+            order = jnp.argsort(-values)
+            idx = order[:kk]
+            return values[idx], idx
+        return jax.lax.top_k(values, kk)
+
+    # stage 1 on model-dtype scores (selection only; exact scores recomputed
+    # in f32 on the selected subset below)
+    obj = jax.nn.sigmoid(logits[:, 4])
+    cls = jax.nn.sigmoid(logits[:, 5:])
+    per_anchor = jnp.max(cls, axis=-1) * obj
+    _, anchor_sel = select_topk(per_anchor.astype(jnp.float32), k1)
+
+    sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, 5+nc)
+    sel_sig = jax.nn.sigmoid(sel_logits)
+    sel_scores = sel_sig[:, 5:] * sel_sig[:, 4:5]  # (k1, nc) f32
+
+    # decode boxes for selected anchors only (reference decode math,
+    # _utils.py:43)
+    g = grid[anchor_sel]
+    s = shift[anchor_sel]
+    st = stride[anchor_sel][:, None]
+    xy = (sel_sig[:, 0:2] * 2.0 - 0.5 + g) * st
+    wh = (sel_sig[:, 2:4] * 2.0) ** 2 * s
+    sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
+
+    # stage 2: top-k (anchor, class) pairs
+    flat = sel_scores.reshape(-1)
+    flat = jnp.where(flat > score_thresh, flat, -1.0)
+    top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
+    row = top_idx // num_classes
+    labels = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = sel_boxes[row]
+    valid = top_scores > score_thresh
+
+    max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
+    offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size, impl=nms_impl)
+
+    d = detections_per_img
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep & (rank < d), rank, d)
+    out_boxes = jnp.zeros((d, 4), cand_boxes.dtype).at[slot].set(cand_boxes, mode="drop")
+    out_scores = jnp.zeros((d,), top_scores.dtype).at[slot].set(top_scores, mode="drop")
+    out_labels = jnp.zeros((d,), jnp.int32).at[slot].set(labels, mode="drop")
+    num = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), d)
+    return Detections(out_boxes, out_scores, out_labels, jnp.arange(d) < num, num)
+
+
+def batched_postprocess_from_heads(
+    head_outputs,
+    strides,
+    anchor_grids,
+    *,
+    num_classes: int,
+    score_thresh: float = 0.005,
+    nms_thresh: float = 0.45,
+    detections_per_img: int = 300,
+    pre_nms_topk: int = 4096,
+    pre_nms_anchors: Optional[int] = None,
+    nms_tile_size: int = 256,
+    nms_impl: str = "auto",
+    topk_impl: str = "auto",
+) -> Detections:
+    """Lazy-decode batched postprocess from raw per-level head logits."""
+    from yolort_tpu.models.head import anchor_tables, flatten_heads
+
+    num_anchors = len(anchor_grids[0]) // 2
+    grid_sizes = [o.shape[1:3] for o in head_outputs]
+    logits = flatten_heads(head_outputs, num_anchors)  # (B, Na, K)
+    grid, shift, stride = anchor_tables(grid_sizes, strides, anchor_grids)
+
+    if topk_impl == "auto":
+        small_batch = logits.shape[0] < 4
+        on_tpu = jax.default_backend() not in ("cpu",)
+        topk_impl = "sort" if (small_batch and on_tpu) else "topk"
+
+    fn = partial(
+        _single_image_nms_from_logits,
+        num_classes=num_classes,
+        score_thresh=score_thresh,
+        nms_thresh=nms_thresh,
+        detections_per_img=detections_per_img,
+        pre_nms_topk=pre_nms_topk,
+        pre_nms_anchors=pre_nms_anchors,
+        nms_tile_size=nms_tile_size,
+        nms_impl=nms_impl,
+        topk_impl=topk_impl,
+    )
+    return jax.vmap(fn, in_axes=(0, None, None, None))(logits, grid, shift, stride)
+
+
 def batched_postprocess(
     pred_logits: jax.Array,
     *,

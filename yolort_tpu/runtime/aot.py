@@ -87,6 +87,35 @@ def export_aot(
     return path
 
 
+def export_stablehlo_binary(
+    model,
+    params,
+    path: str,
+    *,
+    batch_size: int = 1,
+    input_hw: Tuple[int, int] = (640, 640),
+    dtype=jnp.float32,
+) -> str:
+    """Write the raw StableHLO bytecode of the uint8->detections pipeline
+    with the parameters baked in as constants — the artifact the C++ PJRT
+    driver (deployment/pjrt/main.cpp) compiles and serves without Python."""
+    from jax import export as jexport
+
+    from yolort_tpu.models.transform import make_plan
+    from yolort_tpu.utils import cast_floating
+
+    h, w = input_hw
+    plan = make_plan([(h, w)], min_size=min(h, w), max_size=max(h, w))[0]
+    params = cast_floating(params, dtype)
+    fn = _pipeline_fn(model, plan, dtype)
+
+    raw_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(lambda raw: fn(params, raw)))(raw_spec)
+    with open(path, "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    return path
+
+
 def load_aot(path: str) -> "AOTPredictor":
     return AOTPredictor(path)
 
