@@ -132,6 +132,20 @@ class YOLOv5:
         images = self.collate_images(x, loader)
         return self(images)
 
+    def predict_rich(self, x: Any, image_loader: Optional[Callable] = None):
+        """Predict and wrap results in a DetectionResults object with
+        print/render/crop/pandas accessors (the reference AutoShape's
+        Detections role, v5/models/common.py:448,555)."""
+        from yolort_tpu.utils.results import DetectionResults
+
+        loader = image_loader or read_image
+        files = [x] if isinstance(x, str) else (
+            [s for s in x if isinstance(s, str)] if isinstance(x, (list, tuple)) else None
+        )
+        images = self.collate_images(x, loader)
+        preds = self(images)
+        return DetectionResults(images, preds, files=files if files else None)
+
     @staticmethod
     def collate_images(samples: Any, image_loader: Callable) -> List[np.ndarray]:
         if isinstance(samples, str):

@@ -433,6 +433,130 @@ def upsample2x(x):
 # transformer blocks (C3TR / TAN variant)
 # ---------------------------------------------------------------------------
 
+def DWConv(c1: int, c2: int, k: int = 1, s: int = 1, act: str = "silu") -> "Conv":
+    """Depth-wise convolution (common.py:76): groups = gcd(c1, c2)."""
+    return Conv(c1, c2, k, s, g=math.gcd(c1, c2), act=act)
+
+
+@dataclass(frozen=True)
+class GhostConv:
+    """Ghost convolution (common.py:386): half the channels from a primary
+    conv, half from a cheap 5x5 depthwise on those."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: str = "silu"
+
+    def __post_init__(self):
+        c_ = self.c2 // 2
+        object.__setattr__(self, "cv1", Conv(self.c1, c_, self.k, self.s, act=self.act))
+        object.__setattr__(self, "cv2", Conv(c_, c_, 5, 1, g=c_, act=self.act))
+
+    def init(self, key) -> Params:
+        k1, k2 = jax.random.split(key)
+        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+
+    def __call__(self, p: Params, x):
+        y = self.cv1(p["cv1"], x)
+        return jnp.concatenate([y, self.cv2(p["cv2"], y)], axis=-1)
+
+
+@dataclass(frozen=True)
+class GhostBottleneck:
+    """Ghost bottleneck (common.py:399)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    def __post_init__(self):
+        c_ = self.c2 // 2
+        conv = [GhostConv(self.c1, c_, 1, 1)]
+        if self.s == 2:
+            conv.append(DWConv(c_, c_, self.k, self.s, act="none"))
+        conv.append(GhostConv(c_, self.c2, 1, 1, act="none"))
+        object.__setattr__(self, "conv", tuple(conv))
+        shortcut = (
+            (DWConv(self.c1, self.c1, self.k, self.s, act="none"),
+             Conv(self.c1, self.c2, 1, 1, act="none"))
+            if self.s == 2
+            else None
+        )
+        object.__setattr__(self, "shortcut", shortcut)
+
+    def init(self, key) -> Params:
+        n = len(self.conv) + (len(self.shortcut) if self.shortcut else 0)
+        keys = jax.random.split(key, n)
+        out = {"conv": {str(i): m.init(k) for i, (m, k) in enumerate(zip(self.conv, keys))}}
+        if self.shortcut:
+            out["shortcut"] = {
+                str(i): m.init(k)
+                for i, (m, k) in enumerate(zip(self.shortcut, keys[len(self.conv):]))
+            }
+        return out
+
+    def __call__(self, p: Params, x):
+        y = x
+        for i, m in enumerate(self.conv):
+            y = m(p["conv"][str(i)], y)
+        if self.shortcut:
+            s = x
+            for i, m in enumerate(self.shortcut):
+                s = m(p["shortcut"][str(i)], s)
+        else:
+            s = x
+        return y + s
+
+
+@dataclass(frozen=True)
+class C3Ghost(C3):
+    """C3 with GhostBottleneck inners (common.py:378)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        c_ = int(self.c2 * self.e)
+        object.__setattr__(self, "m", tuple(GhostBottleneck(c_, c_) for _ in range(self.n)))
+
+
+def contract(x, gain: int = 2):
+    """(N,H,W,C) -> (N,H/g,W/g,C*g*g) (common.py:419, NHWC form)."""
+    n, h, w, c = x.shape
+    g = gain
+    x = x.reshape(n, h // g, g, w // g, g, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // g, w // g, c * g * g)
+
+
+def expand(x, gain: int = 2):
+    """(N,H,W,C) -> (N,H*g,W*g,C/(g*g)) (common.py:434, NHWC form)."""
+    n, h, w, c = x.shape
+    g = gain
+    x = x.reshape(n, h, w, g, g, c // (g * g))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * g, w * g, c // (g * g))
+
+
+@dataclass(frozen=True)
+class Classify:
+    """Classification head: global pool + 1x1 conv (common.py:679)."""
+
+    c1: int
+    c2: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "conv", Conv2dOnly(self.c1, self.c2, 1, bias=True))
+
+    def init(self, key) -> Params:
+        return {"conv": self.conv.init(key)}
+
+    def __call__(self, p: Params, x):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        return self.conv(p["conv"], pooled).reshape(x.shape[0], -1)
+
+
 def relu(x):
     return jnp.maximum(x, 0.0)
 
