@@ -30,9 +30,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    # 1024 candidates is the serving config (score_thresh 0.25, <=300 final
-    # detections); mAP evaluation uses 4096 for parity at score_thresh 0.005
-    ap.add_argument("--pre-nms-topk", type=int, default=1024)
+    # 512 candidates is the serving config (score_thresh 0.25 keeps far
+    # fewer, and final output caps at 300); mAP evaluation uses 4096 for
+    # parity at score_thresh 0.005
+    ap.add_argument("--pre-nms-topk", type=int, default=512)
     ap.add_argument("--nms-impl", default="auto")
     args = ap.parse_args()
 
