@@ -25,7 +25,7 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="yolov5_darknet_pan_s_r60")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeat", type=int, default=3)

@@ -428,20 +428,28 @@ def load_pretrained_params(arch: str, model) -> Dict:
     no egress, so weights must be pre-seeded."""
     import os
 
+    from yolort_tpu.utils.robustness import PRETRAINED_REGISTRY, verify_checkpoint
+
     roots = [
         os.environ.get("YOLORT_TPU_WEIGHTS", ""),
         os.path.expanduser("~/.cache/yolort_tpu"),
     ]
+    names = [f"{arch}_coco"]
+    if arch in PRETRAINED_REGISTRY:
+        names.append(PRETRAINED_REGISTRY[arch])  # sha-suffixed release name
     for root in roots:
         if not root:
             continue
-        cand = Path(root) / f"{arch}_coco.npz"
-        if cand.exists():
-            params, _ = load_params(str(cand))
-            return params
-        cand_pt = Path(root) / f"{arch}_coco.pt"
-        if cand_pt.exists():
-            return load_from_ultralytics(str(cand_pt))["params"]
+        for name in names:
+            cand = Path(root) / f"{name}.npz"
+            if cand.exists():
+                verify_checkpoint(str(cand))
+                params, _ = load_params(str(cand))
+                return params
+            cand_pt = Path(root) / f"{name}.pt"
+            if cand_pt.exists():
+                verify_checkpoint(str(cand_pt))
+                return load_from_ultralytics(str(cand_pt))["params"]
     raise FileNotFoundError(
         f"No pretrained weights for '{arch}'. Place '{arch}_coco.npz' under "
         "$YOLORT_TPU_WEIGHTS or ~/.cache/yolort_tpu (no network egress here)."

@@ -81,7 +81,9 @@ def letterbox_image(image: jax.Array, plan: LetterboxPlan, fill: float = 114.0 /
     rh, rw = plan.resized_hw
     ch, cw = plan.canvas_hw
     dh, dw = plan.offset_hw
-    resized = jax.image.resize(image, (rh, rw, image.shape[-1]), method="bilinear")
+    resized = jax.image.resize(
+        image, (rh, rw, image.shape[-1]), method="bilinear", antialias=False
+    )
     canvas = jnp.full((ch, cw, image.shape[-1]), fill, image.dtype)
     return jax.lax.dynamic_update_slice(canvas, resized.astype(image.dtype), (dh, dw, 0))
 
@@ -92,7 +94,9 @@ def letterbox_batch(images: jax.Array, plan: LetterboxPlan, fill: float = 114.0 
     rh, rw = plan.resized_hw
     ch, cw = plan.canvas_hw
     dh, dw = plan.offset_hw
-    resized = jax.image.resize(images, (b, rh, rw, images.shape[-1]), method="bilinear")
+    resized = jax.image.resize(
+        images, (b, rh, rw, images.shape[-1]), method="bilinear", antialias=False
+    )
     canvas = jnp.full((b, ch, cw, images.shape[-1]), fill, images.dtype)
     return jax.lax.dynamic_update_slice(canvas, resized.astype(images.dtype), (0, dh, dw, 0))
 

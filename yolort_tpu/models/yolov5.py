@@ -83,6 +83,7 @@ class YOLOv5:
                 params = model.init(jax.random.PRNGKey(seed))
         self.params = params
         self._jit_infer = jax.jit(self._infer)
+        self._jit_infer_fixed = jax.jit(self._infer_fixed)
 
     # ------------------------------------------------------------------
     def _infer(self, params: Params, raw: jax.Array) -> Detections:
@@ -102,15 +103,48 @@ class YOLOv5:
         boxes = scale_coords_back(det.boxes, plan.canvas_hw, orig)
         return det._replace(boxes=boxes)
 
+    def _infer_fixed(self, params: Params, canvases: jax.Array, orig_hw: jax.Array) -> Detections:
+        """Fixed-canvas inference (host letterbox already applied): one
+        compiled program serves arbitrary raw sizes."""
+        det = self.model(params, canvases.astype(self.dtype))
+        boxes = scale_coords_back(det.boxes, self.fixed_shape, orig_hw[:, None, :])
+        return det._replace(boxes=boxes)
+
     def __call__(self, inputs: Sequence[Any]) -> List[Dict[str, np.ndarray]]:
-        """Run inference on a list of HWC float images (mixed sizes allowed;
-        same-size images are batched per compiled shape bucket)."""
+        """Run inference on a list of HWC float images.
+
+        Mixed sizes are allowed: with ``fixed_shape`` set, heterogeneous
+        batches are host-letterboxed onto one static canvas and served by a
+        single compiled program (the reference's PredictorTRT pattern,
+        y_tensorrt.py:130-144); otherwise same-size images are batched per
+        compiled shape bucket (in-graph letterbox)."""
         images = [np.asarray(x, np.float32) for x in inputs]
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+
+        if self.fixed_shape is not None and len({im.shape[:2] for im in images}) > 1:
+            from yolort_tpu.models.transform import letterbox_numpy
+
+            canvases = np.stack(
+                [letterbox_numpy(im, self.fixed_shape, self.size[0], self.size[1],
+                                 self.fill_color / 255.0) for im in images]
+            )
+            orig = np.asarray([im.shape[:2] for im in images], np.float32)
+            det = jax.device_get(
+                self._jit_infer_fixed(self.params, jnp.asarray(canvases), jnp.asarray(orig))
+            )
+            for i in range(len(images)):
+                n = int(det.num[i])
+                results[i] = {
+                    "boxes": np.asarray(det.boxes[i][:n], np.float32),
+                    "scores": np.asarray(det.scores[i][:n], np.float32),
+                    "labels": np.asarray(det.labels[i][:n], np.int64),
+                }
+            return results  # type: ignore[return-value]
+
         groups: Dict[Tuple[int, int], List[int]] = {}
         for i, im in enumerate(images):
             groups.setdefault(im.shape[:2], []).append(i)
 
-        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
         for _, idxs in groups.items():
             batch = jnp.asarray(np.stack([images[i] for i in idxs]))
             det = self._jit_infer(self.params, batch)
