@@ -193,6 +193,90 @@ def randomize_bn_stats(model: nn.Module, seed: int = 0):
     return model
 
 
+class FModelP6(nn.Module):
+    """Flat-Sequential DetectionModel lookalike (P6, r6.0 hub layout —
+    yolov5s6.yaml: backbone 0-11 ending in SPPF, head 12-32, Detect @33)."""
+
+    def __init__(self, nc=7, dm=0.33, wm=0.25, anchors=None):
+        super().__init__()
+        if anchors is None:
+            anchors = [
+                [19, 27, 44, 40, 38, 94],
+                [96, 68, 86, 152, 180, 137],
+                [140, 301, 303, 264, 238, 542],
+                [436, 615, 739, 380, 925, 792],
+            ]
+
+        def mdiv(v, d=8):
+            nv = max(d, int(v + d / 2) // d * d)
+            return nv + d if nv < 0.9 * v else nv
+
+        def dg(n):
+            return max(round(n * dm), 1)
+
+        c = {k: mdiv(k * wm) for k in (64, 128, 256, 512, 768, 1024)}
+        layers = [
+            FConv(3, c[64], 6, 2, 2),             # 0
+            FConv(c[64], c[128], 3, 2),           # 1
+            FC3(c[128], c[128], dg(3)),           # 2
+            FConv(c[128], c[256], 3, 2),          # 3
+            FC3(c[256], c[256], dg(6)),           # 4
+            FConv(c[256], c[512], 3, 2),          # 5
+            FC3(c[512], c[512], dg(9)),           # 6
+            FConv(c[512], c[768], 3, 2),          # 7
+            FC3(c[768], c[768], dg(3)),           # 8
+            FConv(c[768], c[1024], 3, 2),         # 9
+            FC3(c[1024], c[1024], dg(3)),         # 10
+            FSPPF(c[1024], c[1024], 5),           # 11
+            FConv(c[1024], c[768], 1, 1),         # 12
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 13
+            FConcat(),                            # 14
+            FC3(c[768] * 2, c[768], dg(3), False),    # 15
+            FConv(c[768], c[512], 1, 1),          # 16
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 17
+            FConcat(),                            # 18
+            FC3(c[512] * 2, c[512], dg(3), False),    # 19
+            FConv(c[512], c[256], 1, 1),          # 20
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 21
+            FConcat(),                            # 22
+            FC3(c[256] * 2, c[256], dg(3), False),    # 23
+            FConv(c[256], c[256], 3, 2),          # 24
+            FConcat(),                            # 25
+            FC3(c[256] * 2, c[512], dg(3), False),    # 26
+            FConv(c[512], c[512], 3, 2),          # 27
+            FConcat(),                            # 28
+            FC3(c[512] * 2, c[768], dg(3), False),    # 29
+            FConv(c[768], c[768], 3, 2),          # 30
+            FConcat(),                            # 31
+            FC3(c[768] * 2, c[1024], dg(3), False),   # 32
+            FDetect(nc, anchors, (c[256], c[512], c[768], c[1024])),  # 33
+        ]
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0, 64.0])
+        with torch.no_grad():
+            self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
+        self.stride = self.model[-1].stride
+        self.yaml = {"nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors}
+
+    def forward(self, x):
+        m = self.model
+        x2 = m[2](m[1](m[0](x)))
+        p3 = m[4](m[3](x2))
+        p4 = m[6](m[5](p3))
+        p5 = m[8](m[7](p4))
+        p6 = m[11](m[10](m[9](p5)))
+        i12 = m[12](p6)
+        x15 = m[15](m[14]([m[13](i12), p5]))
+        i16 = m[16](x15)
+        x19 = m[19](m[18]([m[17](i16), p4]))
+        i20 = m[20](x19)
+        x23 = m[23](m[22]([m[21](i20), p3]))
+        x26 = m[26](m[25]([m[24](x23), i20]))
+        x29 = m[29](m[28]([m[27](x26), i16]))
+        x32 = m[32](m[31]([m[30](x29), i12]))
+        return m[33]([x23, x26, x29, x32])
+
+
 _SPOOF = {
     FConv: ("models.common", "Conv"),
     FBottleneck: ("models.common", "Bottleneck"),
@@ -201,6 +285,7 @@ _SPOOF = {
     FConcat: ("models.common", "Concat"),
     FDetect: ("models.yolo", "Detect"),
     FModel: ("models.yolo", "DetectionModel"),
+    FModelP6: ("models.yolo", "Model"),
 }
 
 
@@ -232,11 +317,11 @@ def _unspoof():
         sys.modules.pop(name, None)
 
 
-def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True):
+def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False):
     """Fabricate an ultralytics-layout checkpoint; returns the float oracle
     model (same fp16 round-trip as the saved weights when half=True)."""
     torch.manual_seed(seed)
-    model = FModel(nc=nc, dm=dm, wm=wm)
+    model = (FModelP6 if p6 else FModel)(nc=nc, dm=dm, wm=wm)
     randomize_bn_stats(model, seed)
     model.eval()
     _spoof_ultralytics_modules()
