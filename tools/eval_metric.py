@@ -17,7 +17,9 @@ import time
 
 def parse_args():
     ap = argparse.ArgumentParser("yolort_tpu COCO evaluation")
-    ap.add_argument("--checkpoint_path", required=True)
+    ap.add_argument("--checkpoint_path", required=True, help="ultralytics .pt or yolort_tpu .npz")
+    ap.add_argument("--arch", default=None, help="arch name (required for .npz)")
+    ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--version", default="r6.0")
     ap.add_argument("--image_path", required=True, help="COCO image dir")
     ap.add_argument("--annotation_path", required=True, help="instances json")
@@ -27,12 +29,16 @@ def parse_args():
     ap.add_argument("--nms_thresh", type=float, default=0.45)
     ap.add_argument("--num_chips", type=int, default=0, help="0 = all available")
     ap.add_argument("--print_freq", type=int, default=20)
+    ap.add_argument("--device", default=None, help="jax platform override (e.g. cpu, tpu)")
     return ap.parse_args()
 
 
 def cli_main():
     args = parse_args()
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
     import numpy as np
 
@@ -42,13 +48,28 @@ def cli_main():
     from yolort_tpu.parallel import data_parallel_infer, make_mesh, replicate
     from yolort_tpu.utils.logger import MetricLogger
 
-    wrapper = YOLOv5.load_from_yolov5(
-        args.checkpoint_path,
-        version=args.version,
-        score_thresh=args.score_thresh,
-        nms_thresh=args.nms_thresh,
-    )
-    model, params = wrapper.model, wrapper.params
+    if args.checkpoint_path.endswith(".npz"):
+        # native yolort_tpu checkpoint (e.g. from tools/train.py)
+        from yolort_tpu.models._checkpoint import load_params
+        from yolort_tpu.models.yolo import build_yolo
+
+        params, meta = load_params(args.checkpoint_path)
+        if not args.arch:
+            raise SystemExit("--arch is required for .npz checkpoints")
+        model = build_yolo(
+            args.arch,
+            num_classes=int(meta.get("num_classes", args.num_classes or 80)),
+            score_thresh=args.score_thresh,
+            nms_thresh=args.nms_thresh,
+        )
+    else:
+        wrapper = YOLOv5.load_from_yolov5(
+            args.checkpoint_path,
+            version=args.version,
+            score_thresh=args.score_thresh,
+            nms_thresh=args.nms_thresh,
+        )
+        model, params = wrapper.model, wrapper.params
 
     ds = COCODetection(args.image_path, args.annotation_path)
     s = args.image_size
