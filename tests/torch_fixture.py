@@ -21,11 +21,11 @@ def _autopad(k, p=None):
 
 
 class FConv(nn.Module):
-    def __init__(self, c1, c2, k=1, s=1, p=None, g=1):
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, act="silu"):
         super().__init__()
         self.conv = nn.Conv2d(c1, c2, k, s, _autopad(k, p), groups=g, bias=False)
         self.bn = nn.BatchNorm2d(c2, eps=1e-3)
-        self.act = nn.SiLU()
+        self.act = nn.SiLU() if act == "silu" else nn.Hardswish()
 
     def forward(self, x):
         return self.act(self.bn(self.conv(x)))
@@ -193,6 +193,287 @@ def randomize_bn_stats(model: nn.Module, seed: int = 0):
     return model
 
 
+class FFocus(nn.Module):
+    def __init__(self, c1, c2, k=1):
+        super().__init__()
+        self.conv = FConv(c1 * 4, c2, k, 1)
+
+    def forward(self, x):
+        return self.conv(
+            torch.cat(
+                [x[..., ::2, ::2], x[..., 1::2, ::2], x[..., ::2, 1::2], x[..., 1::2, 1::2]], 1
+            )
+        )
+
+
+class FSPP(nn.Module):
+    def __init__(self, c1, c2, k=(5, 9, 13)):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = FConv(c1, c_, 1, 1)
+        self.cv2 = FConv(c_ * (len(k) + 1), c2, 1, 1)
+        self.m = nn.ModuleList(
+            nn.MaxPool2d(kernel_size=x, stride=1, padding=x // 2) for x in k
+        )
+
+    def forward(self, x):
+        x = self.cv1(x)
+        return self.cv2(torch.cat([x] + [m(x) for m in self.m], 1))
+
+
+class FModelR40(nn.Module):
+    """r4.0-era flat layout: Focus stem, stages [3,9,9], SPP tail at flat 8,
+    first head block C3(shortcut=False) at flat 9 (old yolov5s.yaml)."""
+
+    def __init__(self, nc=7, dm=0.33, wm=0.25, anchors=None):
+        super().__init__()
+        if anchors is None:
+            anchors = [
+                [10, 13, 16, 30, 33, 23],
+                [30, 61, 62, 45, 59, 119],
+                [116, 90, 156, 198, 373, 326],
+            ]
+
+        def mdiv(v, d=8):
+            nv = max(d, int(v + d / 2) // d * d)
+            return nv + d if nv < 0.9 * v else nv
+
+        def dg(n):
+            return max(round(n * dm), 1)
+
+        c = {k: mdiv(k * wm) for k in (64, 128, 256, 512, 1024)}
+        layers = [
+            FFocus(3, c[64], 3),                  # 0
+            FConv(c[64], c[128], 3, 2),           # 1
+            FC3(c[128], c[128], dg(3)),           # 2
+            FConv(c[128], c[256], 3, 2),          # 3
+            FC3(c[256], c[256], dg(9)),           # 4
+            FConv(c[256], c[512], 3, 2),          # 5
+            FC3(c[512], c[512], dg(9)),           # 6
+            FConv(c[512], c[1024], 3, 2),         # 7
+            FSPP(c[1024], c[1024]),               # 8
+            FC3(c[1024], c[1024], dg(3), False),  # 9
+            FConv(c[1024], c[512], 1, 1),         # 10
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 11
+            FConcat(),                            # 12
+            FC3(c[1024], c[512], dg(3), False),   # 13
+            FConv(c[512], c[256], 1, 1),          # 14
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 15
+            FConcat(),                            # 16
+            FC3(c[512], c[256], dg(3), False),    # 17
+            FConv(c[256], c[256], 3, 2),          # 18
+            FConcat(),                            # 19
+            FC3(c[512], c[512], dg(3), False),    # 20
+            FConv(c[512], c[512], 3, 2),          # 21
+            FConcat(),                            # 22
+            FC3(c[1024], c[1024], dg(3), False),  # 23
+            FDetect(nc, anchors, (c[256], c[512], c[1024])),  # 24
+        ]
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0])
+        with torch.no_grad():
+            self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
+        self.stride = self.model[-1].stride
+        self.yaml = {"nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors}
+
+    def forward(self, x):
+        m = self.model
+        x1 = m[2](m[1](m[0](x)))
+        p3 = m[4](m[3](x1))
+        p4 = m[6](m[5](p3))
+        p5 = m[9](m[8](m[7](p4)))      # SPP then first head C3 (inner.0)
+        i10 = m[10](p5)
+        x13 = m[13](m[12]([m[11](i10), p4]))
+        i14 = m[14](x13)
+        x17 = m[17](m[16]([m[15](i14), p3]))
+        x20 = m[20](m[19]([m[18](x17), i14]))
+        x23 = m[23](m[22]([m[21](x20), i10]))
+        return m[24]([x17, x20, x23])
+
+
+class FBottleneckHS(nn.Module):
+    def __init__(self, c1, c2, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = FConv(c1, c_, 1, 1, act="hardswish")
+        self.cv2 = FConv(c_, c2, 3, 1, act="hardswish")
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class FBottleneckCSP(nn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = FConv(c1, c_, 1, 1, act="hardswish")
+        self.cv2 = nn.Conv2d(c1, c_, 1, 1, bias=False)
+        self.cv3 = nn.Conv2d(c_, c_, 1, 1, bias=False)
+        self.cv4 = FConv(2 * c_, c2, 1, 1, act="hardswish")
+        self.bn = nn.BatchNorm2d(2 * c_, eps=1e-3)
+        self.act = nn.LeakyReLU(0.1)
+        self.m = nn.Sequential(*[FBottleneckHS(c_, c_, shortcut, e=1.0) for _ in range(n)])
+
+    def forward(self, x):
+        y1 = self.cv3(self.m(self.cv1(x)))
+        y2 = self.cv2(x)
+        return self.cv4(self.act(self.bn(torch.cat((y1, y2), 1))))
+
+
+class FModelR31(nn.Module):
+    """r3.1-era flat layout: Focus(hardswish) stem, BottleneckCSP stages,
+    SPP tail at 8, first head block BottleneckCSP(False) at 9."""
+
+    def __init__(self, nc=7, dm=0.33, wm=0.25, anchors=None):
+        super().__init__()
+        if anchors is None:
+            anchors = [
+                [10, 13, 16, 30, 33, 23],
+                [30, 61, 62, 45, 59, 119],
+                [116, 90, 156, 198, 373, 326],
+            ]
+
+        def mdiv(v, d=8):
+            nv = max(d, int(v + d / 2) // d * d)
+            return nv + d if nv < 0.9 * v else nv
+
+        def dg(n):
+            return max(round(n * dm), 1)
+
+        c = {k: mdiv(k * wm) for k in (64, 128, 256, 512, 1024)}
+        hs = dict(act="hardswish")
+        layers = [
+            FFocusHS(3, c[64], 3),                        # 0
+            FConv(c[64], c[128], 3, 2, **hs),             # 1
+            FBottleneckCSP(c[128], c[128], dg(3)),        # 2
+            FConv(c[128], c[256], 3, 2, **hs),            # 3
+            FBottleneckCSP(c[256], c[256], dg(9)),        # 4
+            FConv(c[256], c[512], 3, 2, **hs),            # 5
+            FBottleneckCSP(c[512], c[512], dg(9)),        # 6
+            FConv(c[512], c[1024], 3, 2, **hs),           # 7
+            FSPPHS(c[1024], c[1024]),                     # 8
+            FBottleneckCSP(c[1024], c[1024], dg(3), False),  # 9
+            FConv(c[1024], c[512], 1, 1, **hs),           # 10
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 11
+            FConcat(),                                    # 12
+            FBottleneckCSP(c[1024], c[512], dg(3), False),   # 13
+            FConv(c[512], c[256], 1, 1, **hs),            # 14
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 15
+            FConcat(),                                    # 16
+            FBottleneckCSP(c[512], c[256], dg(3), False),    # 17
+            FConv(c[256], c[256], 3, 2, **hs),            # 18
+            FConcat(),                                    # 19
+            FBottleneckCSP(c[512], c[512], dg(3), False),    # 20
+            FConv(c[512], c[512], 3, 2, **hs),            # 21
+            FConcat(),                                    # 22
+            FBottleneckCSP(c[1024], c[1024], dg(3), False),  # 23
+            FDetect(nc, anchors, (c[256], c[512], c[1024])),  # 24
+        ]
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0])
+        with torch.no_grad():
+            self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
+        self.stride = self.model[-1].stride
+        self.yaml = {"nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors}
+
+    # forward assigned below (shared r4.0-style graph walk)
+
+
+class FFocusHS(nn.Module):
+    def __init__(self, c1, c2, k=1):
+        super().__init__()
+        self.conv = FConv(c1 * 4, c2, k, 1, act="hardswish")
+
+    def forward(self, x):
+        return self.conv(
+            torch.cat(
+                [x[..., ::2, ::2], x[..., 1::2, ::2], x[..., ::2, 1::2], x[..., 1::2, 1::2]], 1
+            )
+        )
+
+
+class FSPPHS(nn.Module):
+    def __init__(self, c1, c2, k=(5, 9, 13)):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = FConv(c1, c_, 1, 1, act="hardswish")
+        self.cv2 = FConv(c_ * (len(k) + 1), c2, 1, 1, act="hardswish")
+        self.m = nn.ModuleList(
+            nn.MaxPool2d(kernel_size=x, stride=1, padding=x // 2) for x in k
+        )
+
+    def forward(self, x):
+        x = self.cv1(x)
+        return self.cv2(torch.cat([x] + [m(x) for m in self.m], 1))
+
+
+def _r40_style_forward(self, x):
+    m = self.model
+    x1 = m[2](m[1](m[0](x)))
+    p3 = m[4](m[3](x1))
+    p4 = m[6](m[5](p3))
+    p5 = m[9](m[8](m[7](p4)))
+    i10 = m[10](p5)
+    x13 = m[13](m[12]([m[11](i10), p4]))
+    i14 = m[14](x13)
+    x17 = m[17](m[16]([m[15](i14), p3]))
+    x20 = m[20](m[19]([m[18](x17), i14]))
+    x23 = m[23](m[22]([m[21](x20), i10]))
+    return m[24]([x17, x20, x23])
+
+
+FModelR31.forward = _r40_style_forward
+
+
+class FTransformerLayer(nn.Module):
+    def __init__(self, c, num_heads):
+        super().__init__()
+        self.q = nn.Linear(c, c, bias=False)
+        self.k = nn.Linear(c, c, bias=False)
+        self.v = nn.Linear(c, c, bias=False)
+        self.ma = nn.MultiheadAttention(embed_dim=c, num_heads=num_heads)
+        self.fc1 = nn.Linear(c, c, bias=False)
+        self.fc2 = nn.Linear(c, c, bias=False)
+
+    def forward(self, x):
+        x = self.ma(self.q(x), self.k(x), self.v(x))[0] + x
+        x = self.fc2(self.fc1(x)) + x
+        return x
+
+
+class FTransformerBlock(nn.Module):
+    def __init__(self, c1, c2, num_heads, num_layers):
+        super().__init__()
+        self.conv = None
+        if c1 != c2:
+            self.conv = FConv(c1, c2)
+        self.linear = nn.Linear(c2, c2)
+        self.tr = nn.Sequential(*[FTransformerLayer(c2, num_heads) for _ in range(num_layers)])
+        self.c2 = c2
+
+    def forward(self, x):
+        if self.conv is not None:
+            x = self.conv(x)
+        b, _, w, h = x.shape
+        p = x.flatten(2).unsqueeze(0).transpose(0, 3).squeeze(3)
+        return self.tr(p + self.linear(p)).unsqueeze(3).transpose(0, 3).reshape(b, self.c2, w, h)
+
+
+class FC3TR(nn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = FConv(c1, c_, 1, 1)
+        self.cv2 = FConv(c1, c_, 1, 1)
+        self.cv3 = FConv(2 * c_, c2, 1)
+        self.m = FTransformerBlock(c_, c_, 4, n)
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
 class FModelP6(nn.Module):
     """Flat-Sequential DetectionModel lookalike (P6, r6.0 hub layout —
     yolov5s6.yaml: backbone 0-11 ending in SPPF, head 12-32, Detect @33)."""
@@ -277,6 +558,28 @@ class FModelP6(nn.Module):
         return m[33]([x23, x26, x29, x32])
 
 
+class FModelTAN(FModelR40):
+    """r4.0 TAN layout: flat 9 is C3TR instead of C3 (the dingyiwei
+    yolov5-transformer PR the reference's tan_s_r40 weights come from)."""
+
+    def __init__(self, nc=7, dm=0.33, wm=0.25, anchors=None):
+        super().__init__(nc=nc, dm=dm, wm=wm, anchors=anchors)
+
+        def mdiv(v, d=8):
+            nv = max(d, int(v + d / 2) // d * d)
+            return nv + d if nv < 0.9 * v else nv
+
+        def dg(n):
+            return max(round(n * dm), 1)
+
+        c1024 = mdiv(1024 * wm)
+        layers = list(self.model)
+        layers[9] = FC3TR(c1024, c1024, n=dg(3))
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0])
+        self.stride = self.model[-1].stride
+
+
 _SPOOF = {
     FConv: ("models.common", "Conv"),
     FBottleneck: ("models.common", "Bottleneck"),
@@ -286,6 +589,18 @@ _SPOOF = {
     FDetect: ("models.yolo", "Detect"),
     FModel: ("models.yolo", "DetectionModel"),
     FModelP6: ("models.yolo", "Model"),
+    FFocus: ("models.common", "Focus"),
+    FSPP: ("models.common", "SPP"),
+    FModelR40: ("models.yolo", "SegmentationModel"),
+    FTransformerLayer: ("models.common", "TransformerLayer"),
+    FTransformerBlock: ("models.common", "TransformerBlock"),
+    FC3TR: ("models.common", "C3TR"),
+    FModelTAN: ("models.yolo", "ClassificationModel"),
+    FBottleneckHS: ("models.common", "Bottleneck2"),
+    FBottleneckCSP: ("models.common", "BottleneckCSP"),
+    FFocusHS: ("models.common", "Focus2"),
+    FSPPHS: ("models.common", "SPP2"),
+    FModelR31: ("models.yolo", "BaseModel"),
 }
 
 
@@ -317,11 +632,21 @@ def _unspoof():
         sys.modules.pop(name, None)
 
 
-def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False):
+def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False, version="r6.0"):
     """Fabricate an ultralytics-layout checkpoint; returns the float oracle
     model (same fp16 round-trip as the saved weights when half=True)."""
     torch.manual_seed(seed)
-    model = (FModelP6 if p6 else FModel)(nc=nc, dm=dm, wm=wm)
+    if p6:
+        cls = FModelP6
+    elif version == "tan":
+        cls = FModelTAN
+    elif version == "r4.0":
+        cls = FModelR40
+    elif version == "r3.1":
+        cls = FModelR31
+    else:
+        cls = FModel
+    model = cls(nc=nc, dm=dm, wm=wm)
     randomize_bn_stats(model, seed)
     model.eval()
     _spoof_ultralytics_modules()

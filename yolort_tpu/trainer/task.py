@@ -32,12 +32,19 @@ class TrainState(NamedTuple):
 
 @dataclass(frozen=True)
 class DefaultTask:
-    """Bundles a model spec, its loss, and an optimizer."""
+    """Bundles a model spec, its loss, and an optimizer.
+
+    With ``total_steps`` set, the LR follows linear warmup + one-cycle
+    cosine decay to ``lr * final_lr_frac`` (the reference's one_cycle
+    schedule, v5/utils/general.py:328 + hyp.scratch.yaml lrf)."""
 
     model: YOLO
     lr: float = 0.01
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    total_steps: Optional[int] = None
+    warmup_steps: int = 0
+    final_lr_frac: float = 0.1
 
     def __post_init__(self):
         loss = YOLOLoss(
@@ -45,9 +52,17 @@ class DefaultTask:
             anchor_grids=self.model.anchor_grids,
             num_classes=self.model.num_classes,
         )
+        if self.total_steps:
+            from yolort_tpu.trainer.utils import one_cycle_schedule
+
+            lr = one_cycle_schedule(
+                self.lr, self.final_lr_frac, self.total_steps, self.warmup_steps
+            )
+        else:
+            lr = self.lr
         tx = optax.chain(
             optax.add_decayed_weights(self.weight_decay),
-            optax.sgd(self.lr, momentum=self.momentum),
+            optax.sgd(lr, momentum=self.momentum),
         )
         object.__setattr__(self, "loss", loss)
         object.__setattr__(self, "tx", tx)
