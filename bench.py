@@ -35,6 +35,8 @@ def main():
     # parity at score_thresh 0.005
     ap.add_argument("--pre-nms-topk", type=int, default=512)
     ap.add_argument("--nms-impl", default="auto")
+    ap.add_argument("--stem-s2d", action="store_true",
+                    help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,13 @@ def main():
         args.arch, score_thresh=0.25, pre_nms_topk=args.pre_nms_topk, nms_impl=args.nms_impl
     )
     params = model.init(jax.random.PRNGKey(0))
+    if args.stem_s2d:
+        from dataclasses import replace
+
+        from yolort_tpu.models.darknet import stem_to_s2d
+
+        params = stem_to_s2d(params)
+        model = replace(model, stem_s2d=True)
     params = cast_floating(params, dtype)
 
     s = args.size

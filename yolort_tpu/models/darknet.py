@@ -17,6 +17,8 @@ from typing import Optional, Tuple
 
 import jax
 
+import numpy as np
+
 from yolort_tpu.ops.blocks import (
     C3,
     SPP,
@@ -25,7 +27,57 @@ from yolort_tpu.ops.blocks import (
     Focus,
     Params,
     act_for_version,
+    space_to_depth,
 )
+
+
+@dataclass(frozen=True)
+class _S2DStem:
+    """space_to_depth(2) + 3x3/s1 conv == the r6.0 6x6/s2 stem, exactly.
+
+    Weight layout produced by ``stem_to_s2d``; the channel/phase ordering
+    follows ops.blocks.space_to_depth ((0,0),(1,0),(0,1),(1,1))."""
+
+    cout: int
+    act: str = "silu"
+
+    def __post_init__(self):
+        object.__setattr__(self, "conv", Conv(12, self.cout, k=3, s=1, p=1, act=self.act))
+
+    @property
+    def c2(self) -> int:
+        return self.cout
+
+    def init(self, key) -> Params:
+        return self.conv.init(key)
+
+    def __call__(self, p: Params, x):
+        return self.conv(p, space_to_depth(x))
+
+
+def stem_to_s2d(params: Params) -> Params:
+    """Remap a (6,6,3,O) stem conv weight to the equivalent (3,3,12,O)
+    space-to-depth form (bias/BN untouched).  Output-identical: output pixel
+    (i,j) of the 6x6/s2 conv reads original rows 2i-2..2i+3 — exactly the
+    3x3 neighborhood of space-to-depth pixel (i,j) across the 4 phases."""
+    stem = params["backbone"]["0"]
+    w6 = np.asarray(stem["w"])
+    assert w6.shape[:3] == (6, 6, 3), f"not an r6.0 stem weight: {w6.shape}"
+    o = w6.shape[3]
+    w3 = np.zeros((3, 3, 12, o), w6.dtype)
+    phase_idx = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+    for ky in range(6):
+        for kx in range(6):
+            p = phase_idx[(ky % 2, kx % 2)]
+            w3[ky // 2, kx // 2, p * 3 : p * 3 + 3, :] = w6[ky, kx, :, :]
+    import jax.numpy as jnp
+
+    new_stem = dict(stem)
+    new_stem["w"] = jnp.asarray(w3)
+    out = dict(params)
+    out["backbone"] = dict(params["backbone"])
+    out["backbone"]["0"] = new_stem
+    return out
 
 
 def make_divisible(v: float, divisor: int = 8, min_value: Optional[int] = None) -> int:
@@ -58,6 +110,10 @@ class DarkNet:
     width_multiple: float
     version: str = "r6.0"
     last_channel: int = 1024  # 768 when feeding a P6 PAN (backbone_utils.py:101)
+    # TPU optimization: rewrite the 6x6/s2 stem as space-to-depth + 3x3/s1
+    # conv on 12 channels — mathematically identical (see stem_to_s2d), but
+    # 4x more input channels for the MXU and half the spatial extent.
+    stem_s2d: bool = False
 
     def __post_init__(self):
         dm, wm, version = self.depth_multiple, self.width_multiple, self.version
@@ -69,7 +125,9 @@ class DarkNet:
 
         layers = []
         cin = make_divisible(64 * wm)
-        if is_v6:
+        if is_v6 and self.stem_s2d:
+            layers.append(_S2DStem(cin, act))
+        elif is_v6:
             layers.append(Conv(3, cin, k=6, s=2, p=2, act=act))
         else:
             layers.append(Focus(3, cin, k=3, act=act))

@@ -51,6 +51,7 @@ class YOLO:
     pre_nms_anchors: Optional[int] = None  # None => pre_nms_topk (exact)
     nms_tile_size: int = 256
     nms_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    stem_s2d: bool = False  # r6.0 only: space-to-depth stem (see darknet.stem_to_s2d)
 
     def __post_init__(self):
         strides = self.strides or (P6_STRIDES if self.use_p6 else DEFAULT_STRIDES)
@@ -62,7 +63,11 @@ class YOLO:
 
         last_channel = 768 if self.use_p6 else 1024
         backbone = DarkNet(
-            self.depth_multiple, self.width_multiple, self.version, last_channel=last_channel
+            self.depth_multiple,
+            self.width_multiple,
+            self.version,
+            last_channel=last_channel,
+            stem_s2d=self.stem_s2d,
         )
         grow_widths = [256, 512, 768, 1024] if self.use_p6 else [256, 512, 1024]
         in_channels = tuple(int(gw * self.width_multiple) for gw in grow_widths)
