@@ -65,10 +65,17 @@ def yolov5ts(
     )
 
 
+def yolov5_mobilenet_v3_small_fpn(*args, **kwargs):
+    from yolort_tpu.models.yolo_lite import yolov5_mobilenet_v3_small_fpn as fn
+
+    return fn(*args, **kwargs)
+
+
 __all__ = [
     "YOLO",
     "YOLOv5",
     "build_yolo",
+    "yolov5_mobilenet_v3_small_fpn",
     "yolov5n",
     "yolov5s",
     "yolov5m",
