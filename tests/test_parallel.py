@@ -61,6 +61,22 @@ def test_data_parallel_train_step(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_2d_mesh_train_step():
+    """(data=4, model=2) mesh: the reserved model axis must not break the
+    DP train step (params replicated across it)."""
+    mesh2 = make_mesh(jax.devices()[:8], model_axis=2)
+    assert mesh2.devices.shape == (4, 2)
+    model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=4)
+    task = DefaultTask(model)
+    state = replicate(mesh2, task.init_state(jax.random.PRNGKey(0)))
+    images, targets, mask = _batch(4)
+    step = data_parallel_train_step(task, mesh2)
+    new_state, metrics = step(
+        state, shard_batch(mesh2, images), shard_batch(mesh2, targets), shard_batch(mesh2, mask)
+    )
+    assert np.isfinite(float(metrics["total"]))
+
+
 def test_data_parallel_infer_matches_single(mesh):
     model = build_yolo(
         "yolov5_darknet_pan_n_r60", num_classes=4, pre_nms_topk=128, nms_tile_size=64
