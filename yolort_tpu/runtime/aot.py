@@ -47,12 +47,15 @@ def export_aot(
     batch_size: int = 1,
     input_hw: Tuple[int, int] = (640, 640),
     dtype=jnp.float32,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
     meta: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Serialize the full uint8-in/detections-out pipeline to one artifact.
 
-    Replaces the reference's export_onnx / export_tensorrt_engine CLIs
-    (tools/export_model.py:17-197)."""
+    Exported multi-platform by default so an artifact produced on a TPU host
+    also serves on CPU (and vice versa).  Replaces the reference's
+    export_onnx / export_tensorrt_engine CLIs (tools/export_model.py:17-197).
+    """
     from jax import export as jexport
 
     from yolort_tpu.models._checkpoint import _flatten
@@ -62,13 +65,19 @@ def export_aot(
     h, w = input_hw
     plan = make_plan([(h, w)], min_size=min(h, w), max_size=max(h, w))[0]
     params = cast_floating(params, dtype)
+    if len(platforms) > 1 and getattr(model, "nms_impl", None) == "auto":
+        # the Pallas NMS kernel has no CPU lowering; portable artifacts use
+        # the XLA suppression path (identical results)
+        from dataclasses import replace as _replace
+
+        model = _replace(model, nms_impl="xla")
     fn = _pipeline_fn(model, plan, dtype)
 
     raw_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
     param_specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
     )
-    exported = jexport.export(jax.jit(fn))(param_specs, raw_spec)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(param_specs, raw_spec)
     blob = exported.serialize()
 
     meta_out = {
