@@ -11,6 +11,7 @@ from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import argparse
+from pathlib import Path
 
 
 def cli_main():
@@ -55,6 +56,4 @@ def cli_main():
 
 
 if __name__ == "__main__":
-    from pathlib import Path
-
     cli_main()
