@@ -51,6 +51,7 @@ class YOLO:
     pre_nms_anchors: Optional[int] = None  # None => pre_nms_topk (exact)
     nms_tile_size: int = 256
     nms_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    classes_per_anchor: Optional[int] = None  # None = exact multi-label
     stem_s2d: bool = False  # r6.0 only: space-to-depth stem (see darknet.stem_to_s2d)
 
     def __post_init__(self):
@@ -141,6 +142,7 @@ class YOLO:
             pre_nms_anchors=self.pre_nms_anchors,
             nms_tile_size=self.nms_tile_size,
             nms_impl=self.nms_impl,
+            classes_per_anchor=self.classes_per_anchor,
         )
 
     def with_thresholds(self, score_thresh=None, nms_thresh=None, detections_per_img=None,
