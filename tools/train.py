@@ -24,6 +24,9 @@ def cli_main():
     ap.add_argument("--image_size", type=int, default=640)
     ap.add_argument("--max_epochs", type=int, default=50)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--hyp", default=None,
+                    help="hyperparameter yaml (hyp.scratch.yaml schema); "
+                         "drives loss gains, optimizer, and augmentations")
     ap.add_argument("--patience", type=int, default=None)
     ap.add_argument("--output_path", default="trained.npz")
     ap.add_argument("--resume", default=None, help="train-state npz to resume from")
@@ -45,8 +48,14 @@ def cli_main():
     from yolort_tpu.trainer.checkpoint import load_train_state
     from yolort_tpu.trainer.fit import fit
 
+    from yolort_tpu.trainer.hyp import load_hyp
+
+    hyp = load_hyp(args.hyp) if args.hyp else None
+
     s = args.image_size
-    transforms = default_train_transforms(args.seed) if args.augment else None
+    transforms = (
+        default_train_transforms(args.seed, hyp=hyp) if args.augment else None
+    )
     train_ds = COCODetection(args.image_path, args.annotation_path, transforms=transforms)
     train_dm = DetectionDataModule(
         train_ds, batch_size=args.batch_size, canvas_hw=(s, s), min_size=s, max_size=s,
@@ -60,7 +69,7 @@ def cli_main():
         )
 
     model = build_yolo(args.arch, num_classes=args.num_classes)
-    task = DefaultTask(model, lr=args.lr)
+    task = DefaultTask(model, lr=args.lr, hyp=hyp)
     state = None
     if args.resume:
         state, meta = load_train_state(args.resume, task)

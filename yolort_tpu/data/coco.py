@@ -50,9 +50,14 @@ class COCODetection:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
     def get_target(self, image_id: int) -> Dict[str, np.ndarray]:
+        """All annotations, crowds included and flagged via ``iscrowd`` so the
+        evaluator can apply pycocotools crowd-ignore semantics.  The reference
+        strips crowds only when assembling *training* targets (its eval runs
+        pycocotools on the full annotation file); here the training-side crowd
+        filter lives in DetectionDataModule."""
         info = self.images[image_id]
         h, w = info["height"], info["width"]
-        anns = [a for a in self.anns_by_img.get(image_id, []) if a.get("iscrowd", 0) == 0]
+        anns = self.anns_by_img.get(image_id, [])
         boxes = np.asarray([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
         # xywh -> xyxy, clamp to image (reference coco.py:46-53)
         boxes[:, 2:] += boxes[:, :2]
@@ -63,6 +68,7 @@ class COCODetection:
             np.int64,
         )
         area = np.asarray([a.get("area", 0.0) for a in anns], np.float32)
+        iscrowd = np.asarray([a.get("iscrowd", 0) for a in anns], np.int64)
         # degenerate-box filter (reference coco.py:69-73)
         keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
         return {
@@ -70,7 +76,7 @@ class COCODetection:
             "boxes": boxes[keep],
             "labels": labels[keep],
             "area": area[keep],
-            "iscrowd": np.zeros(int(keep.sum()), np.int64),
+            "iscrowd": iscrowd[keep],
             "orig_size": np.asarray([h, w]),
         }
 

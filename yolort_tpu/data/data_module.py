@@ -90,9 +90,14 @@ class DetectionDataModule:
                     img, self.canvas_hw, self.min_size, self.max_size
                 )
                 tgt = self._letterbox_target(tgt, tgt["orig_size"])
-                n = min(len(tgt["labels"]), self.max_targets)
-                tarr[i, :n, 0] = tgt["labels"][:n]
-                tarr[i, :n, 1:] = tgt["boxes_cxcywh_norm"][:n]
+                # training targets exclude crowd regions (the reference filters
+                # iscrowd==0 in its training target assembly, coco.py:44); the
+                # raw targets below keep them so eval can crowd-ignore.
+                sel = np.flatnonzero(~tgt["iscrowd"].astype(bool)) if "iscrowd" in tgt \
+                    else np.arange(len(tgt["labels"]))
+                n = min(len(sel), self.max_targets)
+                tarr[i, :n, 0] = tgt["labels"][sel[:n]]
+                tarr[i, :n, 1:] = tgt["boxes_cxcywh_norm"][sel[:n]]
                 tmask[i, :n] = True
                 raw_targets.append(tgt)
             yield {

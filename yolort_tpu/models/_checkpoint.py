@@ -443,12 +443,14 @@ def load_pretrained_params(arch: str, model) -> Dict:
         for name in names:
             cand = Path(root) / f"{name}.npz"
             if cand.exists():
-                verify_checkpoint(str(cand))
+                if not verify_checkpoint(str(cand)):
+                    raise ValueError(f"sha256 mismatch for checkpoint {cand}")
                 params, _ = load_params(str(cand))
                 return params
             cand_pt = Path(root) / f"{name}.pt"
             if cand_pt.exists():
-                verify_checkpoint(str(cand_pt))
+                if not verify_checkpoint(str(cand_pt)):
+                    raise ValueError(f"sha256 mismatch for checkpoint {cand_pt}")
                 return load_from_ultralytics(str(cand_pt))["params"]
     raise FileNotFoundError(
         f"No pretrained weights for '{arch}'. Place '{arch}_coco.npz' under "

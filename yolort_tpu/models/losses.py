@@ -66,6 +66,30 @@ def smooth_bce_targets(eps: float = 0.0) -> Tuple[float, float]:
     return 1.0 - 0.5 * eps, 0.5 * eps
 
 
+def focal_modulation(logits, targets, gamma: float, alpha: float = 0.25,
+                     quality: bool = False):
+    """Elementwise focal-loss weight to apply on top of a BCE-with-logits
+    loss.  Matches reference FocalLoss (v5/utils/loss.py:37-69:
+    alpha_factor * (1 - p_t)**gamma) and QFocalLoss (:72-97:
+    alpha_factor * |true - sigmoid(pred)|**gamma)."""
+    pred_prob = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    if quality:
+        modulating = jnp.abs(targets - pred_prob) ** gamma
+    else:
+        p_t = targets * pred_prob + (1.0 - targets) * (1.0 - pred_prob)
+        modulating = (1.0 - p_t) ** gamma
+    return alpha_factor * modulating
+
+
+def focal_bce_with_logits(logits, targets, gamma: float, alpha: float = 0.25,
+                          pos_weight: float = 1.0, quality: bool = False):
+    """BCE-with-logits modulated by the (Q)focal factor (elementwise)."""
+    return bce_with_logits(logits, targets, pos_weight) * focal_modulation(
+        logits, targets, gamma, alpha, quality
+    )
+
+
 def pad_targets(per_image_targets: Sequence[Dict], max_per_image: int):
     """List of {'labels': (n,), 'boxes_cxcywh_norm': (n,4)} dicts ->
     (B, T, 5) [cls, cx, cy, w, h] + (B, T) mask."""
@@ -98,6 +122,19 @@ class YOLOLoss:
     anchor_thresh: float = 4.0
     label_smoothing: float = 0.0
     gr: float = 1.0
+    # focal loss (reference v5/utils/loss.py:120-124: fl_gamma>0 wraps the
+    # cls and obj BCE in FocalLoss; QFocalLoss is the quality variant)
+    fl_gamma: float = 0.0
+    fl_alpha: float = 0.25
+    use_qfocal: bool = False
+
+    def _bce(self, logits, targets, pos_weight):
+        if self.fl_gamma > 0:
+            return focal_bce_with_logits(
+                logits, targets, self.fl_gamma, self.fl_alpha, pos_weight,
+                quality=self.use_qfocal,
+            )
+        return bce_with_logits(logits, targets, pos_weight)
 
     @property
     def num_anchors(self) -> int:
@@ -210,14 +247,14 @@ class YOLOLoss:
                 return jnp.zeros((h * w * na,), jnp.float32).at[idx].set(val, mode="drop")
 
             tobj = jax.vmap(scatter_one)(drop_cell, tobj_val)  # (B, H*W*A)
-            loss_obj_l = jnp.mean(bce_with_logits(logits[..., 4], tobj, self.obj_pos))
+            loss_obj_l = jnp.mean(self._bce(logits[..., 4], tobj, self.obj_pos))
             loss_obj = loss_obj + loss_obj_l * bal
 
             # classification over candidate subset
             if nc > 1:
                 onehot = jax.nn.one_hot(c_cls, nc, dtype=jnp.float32)
                 t = smooth_neg + (smooth_pos - smooth_neg) * onehot
-                cls_bce = bce_with_logits(pred[..., 5:], t, self.cls_pos)
+                cls_bce = self._bce(pred[..., 5:], t, self.cls_pos)
                 loss_cls = loss_cls + jnp.sum(
                     jnp.where(c_mask[..., None], cls_bce, 0.0)
                 ) / (n_cand * nc)

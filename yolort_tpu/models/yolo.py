@@ -70,8 +70,12 @@ class YOLO:
             last_channel=last_channel,
             stem_s2d=self.stem_s2d,
         )
+        from yolort_tpu.models.darknet import make_divisible
+
         grow_widths = [256, 512, 768, 1024] if self.use_p6 else [256, 512, 1024]
-        in_channels = tuple(int(gw * self.width_multiple) for gw in grow_widths)
+        # same rounding DarkNet applies internally, so backbone taps and
+        # PAN/head agree for any custom width_multiple (e.g. 0.6)
+        in_channels = tuple(make_divisible(gw * self.width_multiple, 8) for gw in grow_widths)
         pan = PathAggregationNetwork(
             in_channels,
             self.depth_multiple,

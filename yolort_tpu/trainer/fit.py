@@ -79,8 +79,11 @@ def fit(
                 jnp.asarray(batch["target_mask"]),
             )
             logger.update(**{k: float(v) for k, v in metrics.items()})
-        if ema is not None:
-            ema.update(state.params)
+            # per-step EMA with the decay ramp, matching the reference
+            # ModelEMA semantics (v5/utils/torch_utils.py:339-377: update on
+            # every optimizer step, d = decay*(1-exp(-updates/tau)))
+            if ema is not None:
+                ema.update(state.params)
 
         if val_data is not None:
             eval_params = ema.params if ema is not None else state.params

@@ -45,12 +45,39 @@ class DefaultTask:
     total_steps: Optional[int] = None
     warmup_steps: int = 0
     final_lr_frac: float = 0.1
+    # hyp dict (trainer.hyp.DEFAULT_HYP schema) — when set, drives the
+    # optimizer (lr0/lrf/momentum/weight_decay) and every loss gain, the way
+    # the reference's hyp yaml drives its vendored ComputeLoss
+    # (v5/utils/loss.py:104-124)
+    hyp: Optional[Dict] = None
 
     def __post_init__(self):
+        loss_kw = {}
+        if self.hyp is not None:
+            h = self.hyp
+            object.__setattr__(self, "lr", float(h.get("lr0", self.lr)))
+            object.__setattr__(self, "momentum", float(h.get("momentum", self.momentum)))
+            object.__setattr__(
+                self, "weight_decay", float(h.get("weight_decay", self.weight_decay))
+            )
+            object.__setattr__(
+                self, "final_lr_frac", float(h.get("lrf", self.final_lr_frac))
+            )
+            loss_kw = dict(
+                box_gain=float(h.get("box", 0.05)),
+                cls_gain=float(h.get("cls", 0.5)),
+                obj_gain=float(h.get("obj", 1.0)),
+                cls_pos=float(h.get("cls_pw", 1.0)),
+                obj_pos=float(h.get("obj_pw", 1.0)),
+                anchor_thresh=float(h.get("anchor_t", 4.0)),
+                fl_gamma=float(h.get("fl_gamma", 0.0)),
+                label_smoothing=float(h.get("label_smoothing", 0.0)),
+            )
         loss = YOLOLoss(
             strides=self.model.strides,
             anchor_grids=self.model.anchor_grids,
             num_classes=self.model.num_classes,
+            **loss_kw,
         )
         if self.total_steps:
             from yolort_tpu.trainer.utils import one_cycle_schedule

@@ -53,8 +53,12 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16) -> Dict[str
     tp = tp.reshape(len(tp), n_iou)
 
     ap = np.zeros((nc, n_iou))
-    p_out = np.zeros(nc)
-    r_out = np.zeros(nc)
+    # per-class P/R curves interpolated onto one common confidence axis, so
+    # every class is reported at a single global operating point (reference
+    # v5/utils/metrics.py ap_per_class: px=linspace(0,1,1000), i=f1.mean(0).argmax())
+    px = np.linspace(0, 1, 1000)
+    p_curve = np.zeros((nc, len(px)))
+    r_curve = np.zeros((nc, len(px)))
     for ci, c in enumerate(classes):
         sel = pred_cls == c
         n_p = int(sel.sum())
@@ -64,16 +68,16 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16) -> Dict[str
         tpc = np.cumsum(tp[sel], axis=0)
         recall = tpc / (n_gt[ci] + eps)
         precision = tpc / (tpc + fpc)
+        r_curve[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
+        p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
         for ti in range(n_iou):
             ap[ci, ti], _, _ = compute_ap(recall[:, ti], precision[:, ti])
-        # P/R at the score threshold that maximizes F1 of the IoU=0.5 column
-        f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
-        best = int(np.argmax(f1))
-        p_out[ci] = precision[best, 0]
-        r_out[ci] = recall[best, 0]
 
-    f1 = 2 * p_out * r_out / (p_out + r_out + eps)
-    return {"p": p_out, "r": r_out, "ap": ap, "f1": f1, "classes": classes}
+    f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    best = int(np.argmax(f1_curve.mean(0)))
+    p_out, r_out, f1 = p_curve[:, best], r_curve[:, best], f1_curve[:, best]
+    return {"p": p_out, "r": r_out, "ap": ap, "f1": f1, "classes": classes,
+            "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve, "px": px}
 
 
 class ConfusionMatrix:
