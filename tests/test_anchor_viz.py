@@ -27,6 +27,7 @@ def test_matches_center_cell_always_included():
             assert any(m["cell"] == center for m in level)
 
 
+@pytest.mark.slow
 def test_matches_agree_with_loss_lattice():
     """Count parity with the YOLOLoss candidate mask for one target."""
     from yolort_tpu.models.losses import YOLOLoss

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_yolo_lite_shapes():
     from yolort_tpu.models.yolo_lite import yolov5_mobilenet_v3_small_fpn
 

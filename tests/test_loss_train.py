@@ -75,6 +75,7 @@ def test_loss_with_targets_finite_and_positive():
         assert np.isfinite(float(v)) and float(v) > 0.0, k
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=4)
     task = DefaultTask(model, lr=0.05)
@@ -101,6 +102,7 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_gradients_nonzero_everywhere():
     """Every parameter leaf should receive gradient signal from the loss."""
     model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=4)

@@ -64,6 +64,7 @@ def setup(tmp_path_factory):
     return oracle, model, info["params"]
 
 
+@pytest.mark.slow
 def test_map_parity_vs_reference_pipeline(setup):
     oracle, model, params = setup
     rng = np.random.default_rng(0)

@@ -40,6 +40,7 @@ def test_pan_shapes(version):
         assert o.shape == f.shape[:3] + (c,)
 
 
+@pytest.mark.slow
 def test_pan_p6_shapes():
     ch = (128, 256, 384, 512)
     pan = PathAggregationNetwork(ch, 0.33, version="r6.0", use_p6=True)

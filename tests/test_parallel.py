@@ -36,6 +36,7 @@ def _batch(b):
     return images, targets, mask
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step(mesh):
     model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=4)
     task = DefaultTask(model)
@@ -61,6 +62,7 @@ def test_data_parallel_train_step(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_mesh_train_step():
     """(data=4, model=2) mesh: the reserved model axis must not break the
     DP train step (params replicated across it)."""

@@ -18,6 +18,7 @@ from yolort_tpu.trainer import DefaultTask, make_train_step
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_overfit_single_image_detects_object():
     rng = np.random.default_rng(0)
     img = rng.uniform(0.2, 0.4, (96, 96, 3)).astype(np.float32)

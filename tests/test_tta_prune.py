@@ -19,6 +19,7 @@ def test_scale_img_shapes():
     assert scale_img(x, 1.0) is x
 
 
+@pytest.mark.slow
 def test_tta_recovers_same_objects():
     """TTA variants of the identity scale must map back onto the base-frame
     predictions (flip + unscale round trip)."""

@@ -580,6 +580,126 @@ class FModelTAN(FModelR40):
         self.stride = self.model[-1].stride
 
 
+# Full yaml rows (as real ultralytics checkpoints carry them) for the custom
+# non-standard architecture below: gw=gd=1.0, narrow widths, and an EXTRA C3
+# at flat index 14 — a layout the fixed P5/P6 index maps cannot express.
+CUSTOM_YAML = {
+    "nc": 7,
+    "depth_multiple": 1.0,
+    "width_multiple": 1.0,
+    "anchors": [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    "backbone": [
+        [-1, 1, "Conv", [32, 6, 2, 2]],
+        [-1, 1, "Conv", [64, 3, 2]],
+        [-1, 2, "C3", [64]],
+        [-1, 1, "Conv", [96, 3, 2]],
+        [-1, 2, "C3", [96]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 1, "C3", [128]],
+        [-1, 1, "Conv", [192, 3, 2]],
+        [-1, 1, "C3", [192]],
+        [-1, 1, "SPPF", [192, 5]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [-1, 1, "C3", [128, False]],  # 14: the extra block
+        [-1, 1, "Conv", [96, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "C3", [96, False]],
+        [-1, 1, "Conv", [96, 3, 2]],
+        [[-1, 15], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 1, "C3", [192, False]],
+        [[18, 21, 24], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+
+class FModelCustom(nn.Module):
+    """Non-standard flat layout matching CUSTOM_YAML (tests the generic
+    yaml-DSL ingestion, not the fixed index maps)."""
+
+    def __init__(self, nc=7):
+        super().__init__()
+        anchors = CUSTOM_YAML["anchors"]
+        layers = [
+            FConv(3, 32, 6, 2, 2),     # 0
+            FConv(32, 64, 3, 2),       # 1
+            FC3(64, 64, 2),            # 2
+            FConv(64, 96, 3, 2),       # 3
+            FC3(96, 96, 2),            # 4
+            FConv(96, 128, 3, 2),      # 5
+            FC3(128, 128, 1),          # 6
+            FConv(128, 192, 3, 2),     # 7
+            FC3(192, 192, 1),          # 8
+            FSPPF(192, 192, 5),        # 9
+            FConv(192, 128, 1, 1),     # 10
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 11
+            FConcat(),                 # 12
+            FC3(256, 128, 1, False),   # 13
+            FC3(128, 128, 1, False),   # 14 extra
+            FConv(128, 96, 1, 1),      # 15
+            nn.Upsample(scale_factor=2.0, mode="nearest"),  # 16
+            FConcat(),                 # 17
+            FC3(192, 96, 1, False),    # 18 P3 out
+            FConv(96, 96, 3, 2),       # 19
+            FConcat(),                 # 20
+            FC3(192, 128, 1, False),   # 21 P4 out
+            FConv(128, 128, 3, 2),     # 22
+            FConcat(),                 # 23
+            FC3(256, 192, 1, False),   # 24 P5 out
+            FDetect(nc, anchors, (96, 128, 192)),  # 25
+        ]
+        self.model = nn.Sequential(*layers)
+        self.model[-1].stride = torch.tensor([8.0, 16.0, 32.0])
+        with torch.no_grad():
+            self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
+        self.stride = self.model[-1].stride
+        import copy
+
+        self.yaml = copy.deepcopy(CUSTOM_YAML)
+        self.yaml["nc"] = nc
+
+    def forward(self, x):
+        m = self.model
+        x2 = m[2](m[1](m[0](x)))
+        p3 = m[4](m[3](x2))
+        p4 = m[6](m[5](p3))
+        p5 = m[9](m[8](m[7](p4)))
+        i10 = m[10](p5)
+        x14 = m[14](m[13](m[12]([m[11](i10), p4])))
+        i15 = m[15](x14)
+        x18 = m[18](m[17]([m[16](i15), p3]))
+        x21 = m[21](m[20]([m[19](x18), i15]))
+        x24 = m[24](m[23]([m[22](x21), i10]))
+        return m[25]([x18, x21, x24])
+
+
+def make_custom_checkpoint(path, nc=7, seed=0, half=True):
+    """Fabricate a non-standard-layout checkpoint carrying its full yaml."""
+    torch.manual_seed(seed)
+    model = FModelCustom(nc=nc)
+    randomize_bn_stats(model, seed)
+    model.eval()
+    _spoof_ultralytics_modules()
+    try:
+        to_save = model.half() if half else model
+        torch.save({"model": to_save, "epoch": -1}, path)
+    finally:
+        _unspoof()
+    return model.float()
+
+
 _SPOOF = {
     FConv: ("models.common", "Conv"),
     FBottleneck: ("models.common", "Bottleneck"),
@@ -601,6 +721,7 @@ _SPOOF = {
     FFocusHS: ("models.common", "Focus2"),
     FSPPHS: ("models.common", "SPP2"),
     FModelR31: ("models.yolo", "BaseModel"),
+    FModelCustom: ("models.yolo", "CustomModel"),
 }
 
 
