@@ -162,7 +162,41 @@ class FModel(nn.Module):
         with torch.no_grad():
             self.model[-1].anchors /= self.model[-1].stride.view(-1, 1, 1)
         self.stride = self.model[-1].stride
-        self.yaml = {"nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors}
+        # real ultralytics checkpoints carry the FULL parsed yaml incl.
+        # backbone/head rows — mirror that so the generic yaml-DSL ingestion
+        # path is exercised by the standard fixture too
+        self.yaml = {
+            "nc": nc, "depth_multiple": dm, "width_multiple": wm, "anchors": anchors,
+            "backbone": [
+                [-1, 1, "Conv", [64, 6, 2, 2]],
+                [-1, 1, "Conv", [128, 3, 2]],
+                [-1, 3, "C3", [128]],
+                [-1, 1, "Conv", [256, 3, 2]],
+                [-1, 6, "C3", [256]],
+                [-1, 1, "Conv", [512, 3, 2]],
+                [-1, 9, "C3", [512]],
+                [-1, 1, "Conv", [1024, 3, 2]],
+                [-1, 3, "C3", [1024]],
+                [-1, 1, "SPPF", [1024, 5]],
+            ],
+            "head": [
+                [-1, 1, "Conv", [512, 1, 1]],
+                [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+                [[-1, 6], 1, "Concat", [1]],
+                [-1, 3, "C3", [512, False]],
+                [-1, 1, "Conv", [256, 1, 1]],
+                [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+                [[-1, 4], 1, "Concat", [1]],
+                [-1, 3, "C3", [256, False]],
+                [-1, 1, "Conv", [256, 3, 2]],
+                [[-1, 14], 1, "Concat", [1]],
+                [-1, 3, "C3", [512, False]],
+                [-1, 1, "Conv", [512, 3, 2]],
+                [[-1, 10], 1, "Concat", [1]],
+                [-1, 3, "C3", [1024, False]],
+                [[17, 20, 23], 1, "Detect", ["nc", "anchors"]],
+            ],
+        }
 
     def forward(self, x):
         m = self.model

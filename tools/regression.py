@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Turnkey real-weights regression: bit-parity + coco128 mAP floors.
+
+The reference anchors its credibility on two integration tests that need
+real artifacts: converted-checkpoint bit-parity
+(/root/reference/test/test_models.py:393-425, rtol=0/atol=0) and the coco128
+accuracy floor AP>42.5 / AP50>65.3
+(/root/reference/test/test_models_yolov5.py:78-95).  This environment has no
+egress, so this CLI is the ready-to-run harness for the moment weights/data
+get seeded:
+
+    python tools/regression.py --weights yolov5s.pt --data coco128/
+
+Checks performed:
+  1. **Ingestion bit-parity**: the checkpoint is converted through BOTH
+     ingestion paths — the fixed-index-map converter
+     (models/_checkpoint.load_from_ultralytics) and the generic yaml-DSL
+     converter (models/yaml_model.load_yaml_from_ultralytics) — and their
+     decoded predictions must agree bit-exactly (rtol=0, atol=0), the same
+     two-routes-to-identical-weights contract the reference pins.
+  2. **mAP floor**: COCO-protocol eval over the dataset; asserts
+     AP > --ap_floor and AP50 > --ap50_floor.
+
+If the data dir carries ultralytics txt labels instead of a COCO json, the
+annotations are converted on the fly (utils/annotations_converter).
+"""
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+from pathlib import Path
+
+
+def find_coco128_layout(root: Path):
+    """Returns (img_dir, ann_json); fabricates the json from txt labels if
+    needed (ultralytics coco128.zip ships YOLO-txt labels only)."""
+    img_candidates = [root / "images" / "train2017", root / "images", root]
+    img_dir = next((d for d in img_candidates if d.is_dir() and any(d.glob("*.jpg"))), None)
+    if img_dir is None:
+        raise FileNotFoundError(f"no images under {root}")
+    for cand in (root / "annotations" / "instances_train2017.json",
+                 root / "annotations.json", root / "instances.json"):
+        if cand.exists():
+            return img_dir, cand
+    label_dir = root / "labels" / "train2017"
+    if label_dir.is_dir():
+        from yolort_tpu.data.builtin_meta import COCO_CLASSES
+        from yolort_tpu.utils.annotations_converter import AnnotationsConverter
+
+        out = root / "annotations"
+        out.mkdir(exist_ok=True)
+        ann_path = out / "instances_train2017.json"
+        AnnotationsConverter(str(img_dir), str(label_dir), COCO_CLASSES).generate(
+            str(ann_path)
+        )
+        return img_dir, ann_path
+    raise FileNotFoundError(f"no COCO json or yolo labels under {root}")
+
+
+def check_bit_parity(weights: str, img_size: int = 320) -> dict:
+    import numpy as np
+
+    import jax.numpy as jnp
+    from yolort_tpu.models._checkpoint import load_from_ultralytics
+    from yolort_tpu.models.yaml_model import load_yaml_from_ultralytics
+    from yolort_tpu.models.yolo import YOLO
+
+    info = load_from_ultralytics(weights)
+    fixed = YOLO(
+        depth_multiple=info["depth_multiple"],
+        width_multiple=info["width_multiple"],
+        num_classes=info["num_classes"],
+        use_p6=info["use_p6"],
+        strides=tuple(info["strides"]),
+        anchor_grids=tuple(tuple(a) for a in info["anchor_grids"]),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, img_size, img_size, 3)), jnp.float32)
+    pred_fixed = np.asarray(fixed.decode(info["params"], x))
+
+    try:
+        ymodel, yparams = load_yaml_from_ultralytics(weights)
+    except ValueError as e:  # checkpoint without full yaml rows
+        return {"bit_parity": "skipped", "reason": str(e)}
+    pred_yaml = np.asarray(ymodel.decode(yparams, x))
+    np.testing.assert_allclose(pred_yaml, pred_fixed, rtol=0, atol=0)
+    return {"bit_parity": "exact", "max_delta": 0.0,
+            "num_classes": info["num_classes"], "size": info["size"]}
+
+
+def run_map_floor(weights: str, data_root: str, img_size: int, batch_size: int,
+                  score_thresh: float) -> dict:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from yolort_tpu.data import COCODetection, DetectionDataModule
+    from yolort_tpu.data.coco_eval import COCOEvaluator
+    from yolort_tpu.models.transform import scale_coords_back
+    from yolort_tpu.models.yolov5 import YOLOv5
+
+    img_dir, ann = find_coco128_layout(Path(data_root))
+    ds = COCODetection(str(img_dir), str(ann))
+    dm = DetectionDataModule(ds, batch_size=batch_size, canvas_hw=(img_size, img_size),
+                             min_size=img_size, max_size=img_size)
+    m = YOLOv5.load_from_yolov5(weights, score_thresh=score_thresh,
+                                fixed_shape=(img_size, img_size))
+    infer = jax.jit(lambda p, x: m.model(p, x))
+    ev = COCOEvaluator()
+    canvas = jnp.asarray([img_size, img_size], jnp.float32)
+    n_done = 0
+    for batch in dm.batches():
+        det = jax.device_get(infer(m.params, jnp.asarray(batch["images"])))
+        preds, tgts = [], []
+        for j, raw in enumerate(batch["raw_targets"]):
+            n = int(det.num[j])
+            oh, ow = (int(v) for v in raw["orig_size"])
+            boxes = np.asarray(scale_coords_back(
+                jnp.asarray(det.boxes[j][:n]), canvas, jnp.asarray([oh, ow], jnp.float32)))
+            preds.append({"boxes": boxes, "scores": np.asarray(det.scores[j][:n]),
+                          "labels": np.asarray(det.labels[j][:n])})
+            tgts.append({"boxes": raw["boxes"], "labels": raw["labels"],
+                         "iscrowd": raw.get("iscrowd"), "area": raw.get("area")})
+            tgts[-1] = {k: v for k, v in tgts[-1].items() if v is not None}
+        ev.update(preds, tgts)
+        n_done += len(preds)
+        print(f"\r{n_done}/{len(ds)} images", end="", flush=True)
+    print()
+    return {k: round(v * 100, 2) for k, v in ev.compute().items()}
+
+
+def cli_main():
+    ap = argparse.ArgumentParser("yolort_tpu real-weights regression harness")
+    ap.add_argument("--weights", required=True, help="ultralytics .pt checkpoint")
+    ap.add_argument("--data", default=None, help="coco128 directory (skip mAP if absent)")
+    ap.add_argument("--image_size", type=int, default=640)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--score_thresh", type=float, default=0.001)
+    ap.add_argument("--ap_floor", type=float, default=42.5,
+                    help="reference floor: test_models_yolov5.py:78")
+    ap.add_argument("--ap50_floor", type=float, default=65.3)
+    ap.add_argument("--device", default=None)
+    args = ap.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    report = {"weights": args.weights}
+    report.update(check_bit_parity(args.weights))
+    print(f"[1/2] ingestion bit-parity: {report['bit_parity']}")
+
+    if args.data:
+        metrics = run_map_floor(args.weights, args.data, args.image_size,
+                                args.batch_size, args.score_thresh)
+        report["metrics"] = metrics
+        ok = metrics["AP"] > args.ap_floor and metrics["AP50"] > args.ap50_floor
+        report["map_floor"] = "pass" if ok else "FAIL"
+        print(f"[2/2] mAP floor: AP={metrics['AP']} (>{args.ap_floor}) "
+              f"AP50={metrics['AP50']} (>{args.ap50_floor}) -> {report['map_floor']}")
+        if not ok:
+            print(json.dumps(report))
+            raise SystemExit(1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    cli_main()

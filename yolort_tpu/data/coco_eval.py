@@ -85,103 +85,128 @@ class COCOEvaluator:
             self._targets.append(tt)
 
     # ------------------------------------------------------------------
-    def _match_image(self, pred, tgt, cls, area_rng):
-        """Per-(image, class, area-range) greedy matching.
+    # matching (vectorized; pycocotools evaluateImg semantics)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _greedy_match(ious, g_crowd, g_ignore):
+        """Greedy score-order matching, vectorized over all IoU thresholds.
 
-        Returns (det_scores, det_matched(T,), det_ignored, n_gt) where
-        det_matched is (T_iou, n_det) bool."""
-        lo, hi = area_rng
-        sel_d = pred["labels"] == cls
-        d_boxes = pred["boxes"].reshape(-1, 4)[sel_d]
-        d_scores = pred["scores"][sel_d]
-        order = np.argsort(-d_scores, kind="stable")[: self.max_dets]
-        d_boxes, d_scores = d_boxes[order], d_scores[order]
+        ious: (n_d, n_g) with detection rows already sorted by descending
+        score and GT columns sorted non-ignored-first.  Per pycocotools: a
+        detection takes the best *non-ignored* candidate above the threshold
+        if one exists, else the best ignored candidate; equal IoUs resolve to
+        the later GT (the reference scan updates on >=); crowd GTs can absorb
+        unlimited detections.  Returns (matched, match_ignored), both
+        (n_iou, n_d) bool."""
+        n_d, n_g = ious.shape
+        n_t = len(IOU_THRS)
+        matched = np.zeros((n_t, n_d), bool)
+        match_ig = np.zeros((n_t, n_d), bool)
+        if n_d == 0 or n_g == 0:
+            return matched, match_ig
+        g_used = np.zeros((n_t, n_g), bool)
+        ni = ~g_ignore
+        rows = np.arange(n_t)
+        for di in range(n_d):
+            row = ious[di]
+            cand = (~g_used) | g_crowd[None, :]  # (n_t, n_g)
+            v = np.where(cand, row[None, :], -1.0)
+            v_ni = np.where(ni[None, :], v, -1.0)
+            b_ni = n_g - 1 - np.argmax(v_ni[:, ::-1], axis=1)  # last max
+            ok_ni = v_ni[rows, b_ni] >= IOU_THRS
+            v_ig = np.where(g_ignore[None, :], v, -1.0)
+            b_ig = n_g - 1 - np.argmax(v_ig[:, ::-1], axis=1)
+            ok_ig = (~ok_ni) & (v_ig[rows, b_ig] >= IOU_THRS)
+            best = np.where(ok_ni, b_ni, np.where(ok_ig, b_ig, -1))
+            hit = best >= 0
+            matched[:, di] = hit
+            match_ig[:, di] = hit & g_ignore[np.maximum(best, 0)]
+            g_used[rows[hit], best[hit]] = True
+        return matched, match_ig
 
-        sel_g = tgt["labels"] == cls
-        g_boxes = tgt["boxes"].reshape(-1, 4)[sel_g]
-        g_crowd = tgt["iscrowd"][sel_g].astype(bool)
-        g_area = tgt["area"][sel_g]
-        g_ignore = g_crowd | (g_area < lo) | (g_area > hi)
-        # sort GT: non-ignored first (pycocotools evaluateImg semantics)
-        g_order = np.argsort(g_ignore, kind="stable")
-        g_boxes, g_crowd, g_ignore = g_boxes[g_order], g_crowd[g_order], g_ignore[g_order]
+    def _evaluate(self, cls_ids):
+        """Single pass over images: per-(image, class) IoUs computed ONCE and
+        shared across all four area ranges (pycocotools computeIoU caching);
+        matching re-runs per range because the GT ignore set differs.
 
-        n_d, n_g = len(d_boxes), len(g_boxes)
-        n_iou = len(IOU_THRS)
-        d_matched = np.zeros((n_iou, n_d), bool)
-        d_ignored = np.zeros((n_iou, n_d), bool)
-        if n_d and n_g:
-            ious = box_iou_xyxy(d_boxes, g_boxes, iscrowd=g_crowd)
-            for ti, thr in enumerate(IOU_THRS):
-                g_used = np.zeros(n_g, bool)
-                for di in range(n_d):
-                    best, best_iou = -1, float(thr)
-                    for gi in range(n_g):
-                        if g_used[gi] and not g_crowd[gi]:
-                            continue
-                        # prefer non-ignored matches: once matched to a real
-                        # GT, don't switch to an ignored one
-                        if best > -1 and not g_ignore[best] and g_ignore[gi]:
-                            break
-                        if ious[di, gi] < best_iou:
-                            continue
-                        best_iou = ious[di, gi]
-                        best = gi
-                    if best > -1:
-                        g_used[best] = True
-                        d_matched[ti, di] = True
-                        d_ignored[ti, di] = g_ignore[best]
-        # unmatched detections outside the area range are ignored too
-        d_area = np.clip(d_boxes[:, 2] - d_boxes[:, 0], 0, None) * np.clip(
-            d_boxes[:, 3] - d_boxes[:, 1], 0, None
-        )
-        out_of_rng = (d_area < lo) | (d_area > hi)
-        d_ignored |= (~d_matched) & out_of_rng[None, :]
-        return d_scores, d_matched, d_ignored, int((~g_ignore).sum())
+        Returns stats[(cls, area)] = [scores, matched(n_t, n), ignored] and
+        n_gt[(cls, area)]."""
+        area_items = list(AREA_RANGES.items())
+        stats = {(c, a): ([], [], []) for c in cls_ids for a, _ in area_items}
+        n_gt = {(c, a): 0 for c in cls_ids for a, _ in area_items}
+        cls_set = set(cls_ids)
 
-    def _accumulate(self, cls_ids, area_rng):
-        """AP/AR per class for one area range."""
-        n_iou = len(IOU_THRS)
-        ap = np.full((n_iou, len(cls_ids)), np.nan)
-        ar = np.full((n_iou, len(cls_ids)), np.nan)
-        for ci, cls in enumerate(cls_ids):
-            scores, matched, ignored = [], [], []
-            n_gt = 0
-            for p, t in zip(self._preds, self._targets):
-                s, m, ig, ng = self._match_image(p, t, cls, area_rng)
-                scores.append(s)
-                matched.append(m)
-                ignored.append(ig)
-                n_gt += ng
-            if n_gt == 0:
-                continue
-            scores = np.concatenate(scores)
-            matched = np.concatenate(matched, axis=1)
-            ignored = np.concatenate(ignored, axis=1)
-            order = np.argsort(-scores, kind="mergesort")
-            matched, ignored = matched[:, order], ignored[:, order]
-            keep = ~ignored
-            for ti in range(n_iou):
-                tp = np.cumsum(matched[ti] & keep[ti])
-                fp = np.cumsum(~matched[ti] & keep[ti])
-                # drop ignored detections from the ranked list
-                sel = keep[ti]
-                tp, fp = tp[sel], fp[sel]
-                if len(tp) == 0:
-                    ap[ti, ci] = 0.0
-                    ar[ti, ci] = 0.0
-                    continue
-                recall = tp / n_gt
-                precision = tp / np.maximum(tp + fp, 1e-12)
-                # monotone non-increasing precision envelope
-                precision = np.maximum.accumulate(precision[::-1])[::-1]
-                # 101-point interpolation
-                idx = np.searchsorted(recall, REC_THRS, side="left")
-                prec_i = np.where(
-                    idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
+        for p, t in zip(self._preds, self._targets):
+            d_labels = p["labels"].reshape(-1)
+            g_labels = t["labels"].reshape(-1)
+            present = (set(np.unique(d_labels).tolist())
+                       | set(np.unique(g_labels).tolist())) & cls_set
+            for cls in present:
+                sel_d = d_labels == cls
+                d_boxes = p["boxes"].reshape(-1, 4)[sel_d]
+                d_scores = p["scores"].reshape(-1)[sel_d]
+                order = np.argsort(-d_scores, kind="stable")[: self.max_dets]
+                d_boxes, d_scores = d_boxes[order], d_scores[order]
+                d_area = np.clip(d_boxes[:, 2] - d_boxes[:, 0], 0, None) * np.clip(
+                    d_boxes[:, 3] - d_boxes[:, 1], 0, None
                 )
-                ap[ti, ci] = prec_i.mean()
-                ar[ti, ci] = recall[-1]
+
+                sel_g = g_labels == cls
+                g_boxes = t["boxes"].reshape(-1, 4)[sel_g]
+                g_crowd = t["iscrowd"].reshape(-1)[sel_g].astype(bool)
+                g_area = t["area"].reshape(-1)[sel_g]
+                ious = box_iou_xyxy(d_boxes, g_boxes, iscrowd=g_crowd)  # once per (img, cls)
+
+                for area_name, (lo, hi) in area_items:
+                    g_ignore = g_crowd | (g_area < lo) | (g_area > hi)
+                    # GT sorted non-ignored first (pycocotools evaluateImg)
+                    g_order = np.argsort(g_ignore, kind="stable")
+                    m, mig = self._greedy_match(
+                        ious[:, g_order], g_crowd[g_order], g_ignore[g_order]
+                    )
+                    out_of_rng = (d_area < lo) | (d_area > hi)
+                    mig = mig | ((~m) & out_of_rng[None, :])
+                    s, ms, igs = stats[(cls, area_name)]
+                    s.append(d_scores)
+                    ms.append(m)
+                    igs.append(mig)
+                    n_gt[(cls, area_name)] += int((~g_ignore).sum())
+        return stats, n_gt
+
+    @staticmethod
+    def _accumulate(scores_l, matched_l, ignored_l, n_gt):
+        """PR accumulation for one (class, area range): returns (ap, ar) over
+        IoU thresholds, or None when the class has no GT in range."""
+        n_iou = len(IOU_THRS)
+        if n_gt == 0:
+            return None
+        ap = np.zeros(n_iou)
+        ar = np.zeros(n_iou)
+        scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
+        matched = (np.concatenate(matched_l, axis=1) if matched_l
+                   else np.zeros((n_iou, 0), bool))
+        ignored = (np.concatenate(ignored_l, axis=1) if ignored_l
+                   else np.zeros((n_iou, 0), bool))
+        order = np.argsort(-scores, kind="mergesort")
+        matched, ignored = matched[:, order], ignored[:, order]
+        keep = ~ignored
+        for ti in range(n_iou):
+            sel = keep[ti]
+            tp = np.cumsum(matched[ti][sel])
+            fp = np.cumsum(~matched[ti][sel])
+            if len(tp) == 0:
+                continue
+            recall = tp / n_gt
+            precision = tp / np.maximum(tp + fp, 1e-12)
+            # monotone non-increasing precision envelope
+            precision = np.maximum.accumulate(precision[::-1])[::-1]
+            # 101-point interpolation
+            idx = np.searchsorted(recall, REC_THRS, side="left")
+            prec_i = np.where(
+                idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
+            )
+            ap[ti] = prec_i.mean()
+            ar[ti] = recall[-1]
         return ap, ar
 
     def compute(self) -> Dict[str, float]:
@@ -199,17 +224,27 @@ class COCOEvaluator:
 
         import warnings
 
+        stats, n_gt = self._evaluate(cls_ids)
+        n_iou = len(IOU_THRS)
+        ap_by_area = {}
+        for area in AREA_RANGES:
+            ap_a = np.full((n_iou, len(cls_ids)), np.nan)
+            for ci, cls in enumerate(cls_ids):
+                acc = self._accumulate(*stats[(cls, area)], n_gt[(cls, area)])
+                if acc is not None:
+                    ap_a[:, ci] = acc[0]
+            ap_by_area[area] = ap_a
+
         results: Dict[str, float] = {}
         with warnings.catch_warnings():
             # area buckets with no GT legitimately produce all-NaN slices
             warnings.simplefilter("ignore", category=RuntimeWarning)
-            ap_all, _ = self._accumulate(cls_ids, AREA_RANGES["all"])
+            ap_all = ap_by_area["all"]
             results["AP"] = float(np.nanmean(ap_all))
             results["AP50"] = float(np.nanmean(ap_all[IOU_THRS == 0.5]))
             results["AP75"] = float(np.nanmean(ap_all[IOU_THRS == 0.75]))
             for name in ("small", "medium", "large"):
-                ap_a, _ = self._accumulate(cls_ids, AREA_RANGES[name])
-                results[f"AP{name[0]}"] = float(np.nanmean(ap_a))
+                results[f"AP{name[0]}"] = float(np.nanmean(ap_by_area[name]))
             self.per_class_ap = {
                 c: float(np.nanmean(ap_all[:, i])) for i, c in enumerate(cls_ids)
             }

@@ -469,8 +469,11 @@ def load_yaml_from_ultralytics(
     ckpt = load_torch_checkpoint(checkpoint_path)
     model = (ckpt.get("ema") or ckpt["model"]) if isinstance(ckpt, dict) else ckpt
     yaml_cfg = object.__getattribute__(model, "__dict__").get("yaml")
-    if not yaml_cfg:
-        raise ValueError(f"checkpoint {checkpoint_path} carries no yaml config")
+    if not yaml_cfg or "backbone" not in yaml_cfg or "head" not in yaml_cfg:
+        raise ValueError(
+            f"checkpoint {checkpoint_path} carries no full yaml config "
+            "(backbone/head rows required for generic ingestion)"
+        )
 
     flat = _seq_children(_children(model)["model"])
     detect = flat[-1]
