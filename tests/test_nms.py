@@ -123,3 +123,83 @@ def test_postprocess_empty():
                               nms_thresh=0.45, detections_per_img=10, pre_nms_topk=64)
     assert int(out.num[0]) == 0
     assert not np.any(np.asarray(out.valid[0]))
+
+
+def test_select_topk_threshold_matches_lax_topk():
+    """bisect-select == masked lax.top_k: same selected set, same values,
+    same descending order (ties may permute within equal values)."""
+    import numpy as np
+
+    from yolort_tpu.ops.nms import select_topk_threshold
+
+    rng = np.random.default_rng(0)
+    for trial, (n, k, thr) in enumerate(
+        [(1000, 64, 0.005), (4096, 512, 0.25), (8192, 4096, 0.005), (333, 64, 0.0)]
+    ):
+        flat = jnp.asarray(rng.uniform(0, 1.0, n).astype(np.float32) ** 4)
+        bv, bi = jax.jit(lambda f: select_topk_threshold(f, k, thr))(flat)
+        rv, ri = jax.jit(lambda f: jax.lax.top_k(jnp.where(f > thr, f, -1.0), k))(flat)
+        bv, bi, rv, ri = map(np.asarray, (bv, bi, rv, ri))
+        okb, okr = bv > thr, rv > thr
+        assert (okb.sum() == okr.sum()), f"trial {trial} count"
+        np.testing.assert_array_equal(np.where(okb, bv, -1), np.where(okr, rv, -1),
+                                      err_msg=f"trial {trial} values")
+        assert set(bi[okb].tolist()) == set(ri[okr].tolist()), f"trial {trial} indices"
+
+
+def test_select_topk_threshold_ties():
+    """Quantized scores force >k-way ties at the boundary; strictly-greater
+    entries must never be displaced by tie entries."""
+    import numpy as np
+
+    from yolort_tpu.ops.nms import select_topk_threshold
+
+    rng = np.random.default_rng(1)
+    n, k = 2048, 256
+    flat = jnp.asarray((rng.integers(0, 5, n) / 5.0).astype(np.float32))
+    bv, bi = jax.jit(lambda f: select_topk_threshold(f, k, 0.05))(flat)
+    rv, _ = jax.jit(lambda f: jax.lax.top_k(jnp.where(f > 0.05, f, -1.0), k))(flat)
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(rv))
+    # all strictly-greater-than-boundary entries present
+    fv = np.asarray(flat)
+    boundary = np.asarray(rv)[k - 1]
+    must_have = np.flatnonzero(fv > boundary)
+    assert set(must_have.tolist()) <= set(np.asarray(bi).tolist())
+
+
+def test_select_topk_threshold_fewer_than_k():
+    import numpy as np
+
+    from yolort_tpu.ops.nms import select_topk_threshold
+
+    flat = jnp.asarray(np.asarray([0.9, 0.001, 0.7, 0.0005, 0.3], np.float32))
+    v, i = jax.jit(lambda f: select_topk_threshold(f, 4, 0.01))(flat)
+    np.testing.assert_allclose(np.asarray(v), [0.9, 0.7, 0.3, -1.0])
+    assert np.asarray(i)[:3].tolist() == [0, 2, 4]
+
+
+def test_postprocess_bisect_matches_topk_impl():
+    """Full postprocess with topk_impl='bisect' == 'topk' on identical
+    decoded predictions."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    b, na, nc = 2, 840, 7
+    pred = np.zeros((b, na, 5 + nc), np.float32)
+    pred[..., 0] = rng.uniform(0, 640, (b, na))
+    pred[..., 1] = rng.uniform(0, 640, (b, na))
+    pred[..., 2] = rng.uniform(8, 120, (b, na))
+    pred[..., 3] = rng.uniform(8, 120, (b, na))
+    pred[..., 4] = rng.uniform(0, 1, (b, na))
+    pred[..., 5:] = rng.uniform(0, 1, (b, na, nc))
+    pred = jnp.asarray(pred)
+
+    kw = dict(num_classes=nc, score_thresh=0.25, nms_thresh=0.45,
+              detections_per_img=100, pre_nms_topk=256, nms_tile_size=64,
+              nms_impl="xla")
+    d1 = jax.jit(lambda p: batched_postprocess(p, topk_impl="topk", **kw))(pred)
+    d2 = jax.jit(lambda p: batched_postprocess(p, topk_impl="bisect", **kw))(pred)
+    np.testing.assert_array_equal(np.asarray(d1.num), np.asarray(d2.num))
+    np.testing.assert_allclose(np.asarray(d1.scores), np.asarray(d2.scores), atol=0)
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d2.boxes), atol=0)
+    np.testing.assert_array_equal(np.asarray(d1.labels), np.asarray(d2.labels))

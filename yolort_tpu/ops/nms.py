@@ -80,12 +80,17 @@ def greedy_nms_mask(
     valid: jax.Array,
     iou_thresh: float,
     tile_size: int = 256,
+    stop_after: int = 0,
 ) -> jax.Array:
     """Greedy NMS keep-mask over score-sorted candidates.
 
     boxes: (K,4) xyxy sorted by descending score; valid: (K,) bool.
     Returns keep: (K,) bool — identical to sequential greedy NMS with strict
     ``iou > iou_thresh`` suppression (torchvision.ops.nms semantics).
+
+    stop_after > 0: early exit once that many keeps are finalized (keeps are
+    score-ordered, so the top-``stop_after`` result is already exact); tiles
+    past that point pass validity through — see pallas_nms_mask.
     """
     k = boxes.shape[0]
     t = min(tile_size, k)
@@ -96,6 +101,7 @@ def greedy_nms_mask(
     kp = boxes.shape[0]
     num_tiles = kp // t
     idx = jnp.arange(kp)
+    stop = stop_after if stop_after > 0 else kp
 
     def tile_body(i, alive):
         start = i * t
@@ -113,7 +119,16 @@ def greedy_nms_mask(
         tile_alive = _self_suppress(sup_tt, tile_valid)
         return jax.lax.dynamic_update_slice(alive, tile_alive, (start,))
 
-    alive = jax.lax.fori_loop(0, num_tiles, tile_body, valid)
+    def cond(state):
+        i, alive = state
+        kept = jnp.sum((alive & (idx < i * t)).astype(jnp.int32))
+        return (i < num_tiles) & (kept < stop)
+
+    def body(state):
+        i, alive = state
+        return i + 1, tile_body(i, alive)
+
+    _, alive = jax.lax.while_loop(cond, body, (jnp.int32(0), valid))
     return alive[:k]
 
 
@@ -123,17 +138,118 @@ def nms_keep_mask(
     iou_thresh: float,
     tile_size: int = 256,
     impl: str = "auto",
+    stop_after: int = 0,
 ) -> jax.Array:
     """Dispatch greedy NMS to the Pallas TPU kernel or the XLA fallback.
 
-    impl: 'auto' (Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'."""
+    impl: 'auto' (Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'.
+    stop_after: early-exit keep budget (0 = run all tiles)."""
     if impl != "xla":
         from yolort_tpu.ops.pallas.nms_kernel import pallas_nms_available, pallas_nms_mask
 
         k = boxes.shape[0]
         if impl == "pallas" or (pallas_nms_available() and k % tile_size == 0):
-            return pallas_nms_mask(boxes, valid, iou_thresh, tile=tile_size)
-    return greedy_nms_mask(boxes, valid, iou_thresh, tile_size=tile_size)
+            return pallas_nms_mask(boxes, valid, iou_thresh, tile=tile_size,
+                                   stop_after=stop_after)
+    return greedy_nms_mask(boxes, valid, iou_thresh, tile_size=tile_size,
+                           stop_after=stop_after)
+
+
+def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int) -> jax.Array:
+    """Exact k-th-largest value (as monotonic int32 float bits) among valid
+    entries, via branchless bisection on the bit pattern (31 masked counts —
+    ~100x cheaper than a 328k sort on TPU).  Positive IEEE-754 floats compare
+    identically as int32, so the converged ``lo`` satisfies
+    count(bits >= lo) >= k > count(bits >= lo+1) exactly (or lo = thr+1 when
+    fewer than k valid entries exist, selecting them all)."""
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        c = jnp.sum((valid & (bits >= mid)).astype(jnp.int32))
+        big = c >= k
+        return jnp.where(big, mid, lo), jnp.where(big, hi, mid)
+
+    lo0 = jnp.min(jnp.where(valid, bits, jnp.int32(2**30)))  # lowest valid
+    hi0 = jnp.int32(0x40000000)  # bits of 2.0; scores are sigmoid products <= 1
+    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    return lo
+
+
+def select_topk_threshold(
+    flat: jax.Array, k: int, score_thresh: float, sort: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k selection of scores > score_thresh, without a large sort.
+
+    Replaces ``lax.top_k`` over the (candidates x classes) score matrix — the
+    dominant cost of the exact eval config (a 328k-element TopK is ~15 ms on
+    v5e at batch 32; this runs in ~1 ms).  Three phases, all scatter-free
+    (XLA scatter serializes per update on TPU):
+
+      1. bisection for the exact k-th largest value t (31 masked counts);
+      2. gather-formulated stream compaction of the >t entries followed by
+         the ==t ties (two index-ordered tiers, so a strictly-greater entry
+         is never displaced by a tie): chunk counts -> exclusive offsets ->
+         per-slot chunk lookup (compare+reduce) -> 128-wide row gather ->
+         in-lane rank extraction;
+      3. a small descending sort of the k survivors (skippable when order
+         does not matter, e.g. anchor pre-selection).
+
+    flat: (n,) f32 scores in [0, 1].  Returns (values, indices) with empty
+    slots valued -1.0 — the same contract as masked ``lax.top_k``.  Matches
+    ``lax.top_k`` output up to tie ORDER (ties resolve in index order within
+    the boundary value; the selected SET and all values are identical).
+    """
+    n = flat.shape[0]
+    k = min(k, n)
+    w = 128
+    pad = (-n) % w
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    npad = flat.shape[0]
+    nc_chunks = npad // w
+
+    bits = jax.lax.bitcast_convert_type(flat.astype(jnp.float32), jnp.int32)
+    thr_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(score_thresh, jnp.float32), jnp.int32
+    )
+    valid = bits > thr_bits
+    t = _bisect_kth_bits(bits, valid, k)
+
+    sel_gt = valid & (bits >= t + 1)  # strictly above the boundary: < k of them
+    sel_eq = valid & (bits == t)      # boundary ties fill remaining slots
+    gt_c = sel_gt.reshape(nc_chunks, w)
+    eq_c = sel_eq.reshape(nc_chunks, w)
+    # virtual concatenation [gt entries, eq entries], both in index order
+    cnt = jnp.concatenate(
+        [jnp.sum(gt_c, axis=1, dtype=jnp.int32), jnp.sum(eq_c, axis=1, dtype=jnp.int32)]
+    )  # (2*NC,)
+    off = jnp.cumsum(cnt) - cnt
+    total = off[-1] + cnt[-1]
+
+    s_iota = jnp.arange(k, dtype=jnp.int32)
+    # chunk containing output slot s: #\{chunks with offset <= s\} - 1
+    c_of_s = jnp.sum((off[None, :] <= s_iota[:, None]).astype(jnp.int32), axis=1) - 1
+    c_of_s = jnp.clip(c_of_s, 0, 2 * nc_chunks - 1)
+    p = s_iota - off[c_of_s]  # within-chunk rank
+    phys = c_of_s % nc_chunks
+    is_eq_tier = c_of_s >= nc_chunks
+
+    rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
+    rows_m = jnp.where(is_eq_tier[:, None], eq_c[phys], gt_c[phys])
+    rank_lane = jnp.cumsum(rows_m.astype(jnp.int32), axis=1) - 1
+    hit = rows_m & (rank_lane == p[:, None])
+    vals = jnp.sum(jnp.where(hit, rows_v, 0.0), axis=1)
+    lane = jnp.sum(jnp.where(hit, jnp.arange(w, dtype=jnp.int32)[None, :], 0), axis=1)
+    idx = phys * w + lane
+
+    ok = s_iota < jnp.minimum(total, k)
+    vals = jnp.where(ok, vals, -1.0)
+    idx = jnp.where(ok, idx, 0)
+    if sort:
+        neg, idx = jax.lax.sort_key_val(-vals, idx)
+        vals = -neg
+    return vals, idx
 
 
 class Detections(NamedTuple):
@@ -179,7 +295,11 @@ def _single_image_nms(
     # (1, nc*k) with k=4096 (TransformWindow check failure in fusion_util).
     k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
 
-    def select_topk(values, kk):
+    def select_topk(values, kk, thresh=None):
+        if topk_impl == "bisect":
+            # bisection + gather compaction: no TopK emitter at all (also
+            # sidesteps the libtpu batch-1 aborts), ~12x faster at k=4096
+            return select_topk_threshold(values, kk, 0.0 if thresh is None else thresh)
         if topk_impl == "sort":
             # sort-based selection: the libtpu TopK emitter miscompiles some
             # batch-1 fused shapes (fusion_util.cc TransformWindow /
@@ -192,13 +312,21 @@ def _single_image_nms(
 
     # stage 1: best-class score per anchor, top-k1 anchors
     per_anchor = jnp.max(scores_all, axis=-1)
-    _, anchor_sel = select_topk(per_anchor, k1)  # (k1,)
+    s1_vals, anchor_sel = select_topk(per_anchor, k1)  # (k1,)
     sel_scores = scores_all[anchor_sel]  # (k1, nc)
+    if topk_impl == "bisect":
+        # zero out slots beyond the valid-anchor count so a repeated index-0
+        # gather can never fabricate duplicate candidates
+        sel_scores = jnp.where(s1_vals[:, None] >= 0.0, sel_scores, 0.0)
 
     # stage 2: top-k (anchor, class) pairs among selected anchors
     flat = sel_scores.reshape(-1)
-    flat = jnp.where(flat > score_thresh, flat, -1.0)
-    top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
+    if topk_impl == "bisect":
+        top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes),
+                                          thresh=score_thresh)
+    else:
+        flat = jnp.where(flat > score_thresh, flat, -1.0)
+        top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
     anchor_idx = anchor_sel[top_idx // num_classes]
     labels = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = boxes_all[anchor_idx]
@@ -208,7 +336,8 @@ def _single_image_nms(
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
     offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
 
-    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size, impl=nms_impl)
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
+                         impl=nms_impl, stop_after=detections_per_img)
 
     # compact kept candidates (already score-ordered) into D padded slots
     d = detections_per_img
@@ -252,7 +381,10 @@ def _single_image_nms_from_logits(
     k = min(pre_nms_topk, na * num_classes)
     k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
 
-    def select_topk(values, kk):
+    def select_topk(values, kk, thresh=None, sort=True):
+        if topk_impl == "bisect":
+            return select_topk_threshold(values, kk, 0.0 if thresh is None else thresh,
+                                         sort=sort)
         if topk_impl == "sort":
             order = jnp.argsort(-values)
             idx = order[:kk]
@@ -260,15 +392,20 @@ def _single_image_nms_from_logits(
         return jax.lax.top_k(values, kk)
 
     # stage 1 on model-dtype scores (selection only; exact scores recomputed
-    # in f32 on the selected subset below)
+    # in f32 on the selected subset below).  Order of the selected anchors is
+    # irrelevant (stage 2 re-sorts pairs), so the bisect path skips its sort.
     obj = jax.nn.sigmoid(logits[:, 4])
     cls = jax.nn.sigmoid(logits[:, 5:])
     per_anchor = jnp.max(cls, axis=-1) * obj
-    _, anchor_sel = select_topk(per_anchor.astype(jnp.float32), k1)
+    s1_vals, anchor_sel = select_topk(per_anchor.astype(jnp.float32), k1, sort=False)
 
     sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, 5+nc)
     sel_sig = jax.nn.sigmoid(sel_logits)
     sel_scores = sel_sig[:, 5:] * sel_sig[:, 4:5]  # (k1, nc) f32
+    if topk_impl == "bisect":
+        # invalidate slots past the valid-anchor count (repeated index-0
+        # gathers must not fabricate duplicate candidates)
+        sel_scores = jnp.where(s1_vals[:, None] >= 0.0, sel_scores, 0.0)
 
     # decode boxes for selected anchors only (reference decode math,
     # _utils.py:43)
@@ -287,14 +424,21 @@ def _single_image_nms_from_logits(
         cpa = classes_per_anchor
         class_vals, class_idx = jax.lax.top_k(sel_scores, cpa)  # (k1, cpa)
         flat = class_vals.reshape(-1)
-        flat = jnp.where(flat > score_thresh, flat, -1.0)
-        top_scores, top_idx = select_topk(flat, min(k, k1 * cpa))
+        if topk_impl == "bisect":
+            top_scores, top_idx = select_topk(flat, min(k, k1 * cpa), thresh=score_thresh)
+        else:
+            flat = jnp.where(flat > score_thresh, flat, -1.0)
+            top_scores, top_idx = select_topk(flat, min(k, k1 * cpa))
         row = top_idx // cpa
         labels = class_idx.reshape(-1)[top_idx].astype(jnp.int32)
     else:
         flat = sel_scores.reshape(-1)
-        flat = jnp.where(flat > score_thresh, flat, -1.0)
-        top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
+        if topk_impl == "bisect":
+            top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes),
+                                              thresh=score_thresh)
+        else:
+            flat = jnp.where(flat > score_thresh, flat, -1.0)
+            top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
         row = top_idx // num_classes
         labels = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = sel_boxes[row]
@@ -302,7 +446,8 @@ def _single_image_nms_from_logits(
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
     offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
-    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size, impl=nms_impl)
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
+                         impl=nms_impl, stop_after=detections_per_img)
 
     d = detections_per_img
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -339,9 +484,9 @@ def batched_postprocess_from_heads(
     grid, shift, stride = anchor_tables(grid_sizes, strides, anchor_grids)
 
     if topk_impl == "auto":
-        small_batch = logits.shape[0] < 4
-        on_tpu = jax.default_backend() not in ("cpu",)
-        topk_impl = "sort" if (small_batch and on_tpu) else "topk"
+        # bisect-select on TPU: ~12x faster than the TopK emitter at k=4096
+        # and immune to its batch-1 fused-shape aborts
+        topk_impl = "bisect" if jax.default_backend() not in ("cpu",) else "topk"
 
     fn = partial(
         _single_image_nms_from_logits,
@@ -380,14 +525,11 @@ def batched_postprocess(
     Equivalent of the reference PostProcess.forward per-image loop
     (box_head.py:388-429), fully vectorized via vmap.
 
-    topk_impl='auto' uses sort-based selection for small batches on TPU
-    (the libtpu TopK emitter aborts on some batch-1 fused shapes) and
-    lax.top_k otherwise.
+    topk_impl='auto' uses bisection-select on TPU (fast, no TopK emitter —
+    which aborts on some batch-1 fused shapes) and lax.top_k on CPU.
     """
     if topk_impl == "auto":
-        small_batch = pred_logits.shape[0] < 4
-        on_tpu = jax.default_backend() not in ("cpu",)
-        topk_impl = "sort" if (small_batch and on_tpu) else "topk"
+        topk_impl = "bisect" if jax.default_backend() not in ("cpu",) else "topk"
     fn = partial(
         _single_image_nms,
         num_classes=num_classes,

@@ -60,7 +60,8 @@ def _iou_cols(rows_boxes, cols_boxes_t):
     return inter / jnp.maximum(union, 1e-12)
 
 
-def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: float, tile: int):
+def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: float,
+                tile: int, stop_after: int):
     k = boxes_t_ref.shape[1]
     num_tiles = k // tile
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1,K)
@@ -72,11 +73,15 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: floa
     # alive state lives in the output ref ((1,K) f32); init with validity
     keep_ref[:, :] = valid_ref[:, :]
 
-    def tile_body(t, _):
+    def tile_body(t, kept):
         start = pl.multiple_of(t * tile, tile)
         tile_valid = keep_ref[:, pl.ds(start, tile)]  # (1,T) f32
 
-        @pl.when(jnp.sum(tile_valid) > 0.0)
+        # Early exit: keeps are score-ordered, so once ``stop_after`` of them
+        # are finalized the top-``stop_after`` output can no longer change —
+        # later tiles keep their validity passthrough (their compaction rank
+        # is >= stop_after, so downstream truncation drops them regardless).
+        @pl.when((kept < float(stop_after)) & (jnp.sum(tile_valid) > 0.0))
         def _():
             tile_cols = boxes_t_ref[:, pl.ds(start, tile)]  # (4,T)
 
@@ -106,25 +111,35 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: floa
             final_alive, _ = jax.lax.while_loop(cond, body, (alive, True))
             keep_ref[:, pl.ds(start, tile)] = final_alive
 
-        return 0
+        # post-write tile keep count (skipped tiles contribute their init
+        # validity, which is harmless: the gate only re-checks >= stop_after)
+        return kept + jnp.sum(keep_ref[:, pl.ds(start, tile)])
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thresh", "tile"))
-def pallas_nms_mask(boxes: jax.Array, valid: jax.Array, iou_thresh: float, tile: int = 128):
+@functools.partial(jax.jit, static_argnames=("iou_thresh", "tile", "stop_after"))
+def pallas_nms_mask(boxes: jax.Array, valid: jax.Array, iou_thresh: float, tile: int = 128,
+                    stop_after: int = 0):
     """Greedy NMS keep mask on TPU via Pallas.
 
     boxes: (K,4) xyxy score-sorted (class offsets pre-applied); valid: (K,).
     K must be a multiple of ``tile`` (itself a multiple of 128 for lane
     alignment).  Returns (K,) bool, identical to ops.nms.greedy_nms_mask.
+
+    stop_after > 0 enables early exit: the mask is exact through the first
+    ``stop_after`` keeps; tiles past that point pass their validity through
+    (any caller that truncates to the top stop_after detections — e.g.
+    detections_per_img compaction — sees identical results at a fraction of
+    the tile work).
     """
     k = boxes.shape[0]
     assert k % tile == 0, f"K={k} must be a multiple of tile={tile}"
     assert tile % 128 == 0, f"tile={tile} must be a multiple of 128"
     boxes = boxes.astype(jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thresh=iou_thresh, tile=tile),
+        functools.partial(_nms_kernel, iou_thresh=iou_thresh, tile=tile,
+                          stop_after=stop_after if stop_after > 0 else k),
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
