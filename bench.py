@@ -22,6 +22,99 @@ import sys
 import time
 
 
+def calibrate_candidate_density(model, params, raw_u8, dtype, plan, target: int = 120):
+    """Shift the head objectness bias so the score distribution produces a
+    realistic above-threshold candidate load (random-init prior-prob biases
+    keep scores ~1e-4, which lets the NMS tile-skip elide nearly all
+    suppression work and flatters the benchmark — VERDICT r1 'make the bench
+    honest').  Returns params with obj+cls bias shifted so the per-image
+    count of score>0.25 pairs reaches at least ``target`` (real yolov5s/COCO
+    images carry ~30-300).  Random-init score distributions are nearly
+    degenerate, so the search lands on a cliff edge and typically
+    overshoots — the conservative direction (MORE suppression work than real
+    images, not less)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolort_tpu.models.head import flatten_heads
+    from yolort_tpu.models.transform import letterbox_batch
+
+    sub = raw_u8[: min(8, raw_u8.shape[0])]
+
+    def logits_of(params):
+        imgs = sub.astype(dtype) * (1.0 / 255.0)
+        canvas = letterbox_batch(imgs, plan)
+        outs = model.head_outputs(params, canvas)
+        return flatten_heads(outs, model.num_anchors)
+
+    lg = np.asarray(jax.device_get(jax.jit(logits_of)(params)), np.float32)
+    obj, cls = lg[..., 4], lg[..., 5:]
+    # count(sigmoid(obj+d)*sigmoid(cls) > 0.25) as a function of the shift d
+    def count_at(d):
+        s = 1 / (1 + np.exp(-(obj + d)))[..., None] * (1 / (1 + np.exp(-(cls + d))))
+        return (s > 0.25).sum() / lg.shape[0]
+
+    lo, hi = 0.0, 20.0
+    for _ in range(30):
+        mid = (lo + hi) / 2
+        if count_at(mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    delta = (lo + hi) / 2
+
+    def shift_bias(p):
+        out = dict(p)
+        head = dict(out["head"])
+        for key, leaf in head.items():
+            b = np.asarray(leaf["b"], np.float32).reshape(model.num_anchors, -1)
+            b[:, 4] += delta   # objectness
+            b[:, 5:] += delta  # class logits (prior bias keeps cls ~0.007)
+            head[key] = dict(leaf, b=jnp.asarray(b.reshape(-1), leaf["b"].dtype))
+        out["head"] = head
+        return out
+
+    return shift_bias(params), delta, count_at(delta)
+
+
+def run_config(model, params, raw, dtype, plan, iters, repeat):
+    import jax
+    import jax.numpy as jnp
+
+    from yolort_tpu.models.transform import letterbox_batch
+
+    def one_pass(params, raw_u8, jitter):
+        imgs = raw_u8.astype(dtype) * (1.0 / 255.0) + jitter
+        canvas = letterbox_batch(imgs, plan)
+        return model(params, canvas)
+
+    def chained(params, raw_u8):
+        def body(i, acc):
+            det = one_pass(params, raw_u8, (acc % 3).astype(dtype) * 1e-6)
+            return acc + jnp.sum(det.num)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    bench_fn = jax.jit(chained)
+    trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
+    int(bench_fn(params, raw))
+    int(trivial(raw))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(trivial(raw))
+        ts.append(time.perf_counter() - t0)
+    t_triv = min(ts)
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        int(bench_fn(params, raw))
+        best = min(best, time.perf_counter() - t0)
+    elapsed = max(best - t_triv, 1e-9)
+    return raw.shape[0] * iters / elapsed
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="yolov5_darknet_pan_s_r60")
@@ -34,7 +127,11 @@ def main():
     # fewer, and final output caps at 300); mAP evaluation uses 4096 for
     # parity at score_thresh 0.005
     ap.add_argument("--pre-nms-topk", type=int, default=512)
+    ap.add_argument("--eval-topk", type=int, default=4096)
     ap.add_argument("--nms-impl", default="auto")
+    ap.add_argument("--candidates", type=int, default=120,
+                    help="calibrated above-0.25 candidate pairs per image")
+    ap.add_argument("--skip-eval-config", action="store_true")
     ap.add_argument("--stem-s2d", action="store_true",
                     help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
@@ -43,7 +140,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from yolort_tpu.models.transform import LetterboxPlan, letterbox_batch
+    from yolort_tpu.models.transform import LetterboxPlan
     from yolort_tpu.models.yolo import build_yolo
     from yolort_tpu.utils import cast_floating
 
@@ -63,51 +160,34 @@ def main():
 
     s = args.size
     plan = LetterboxPlan((s, s), (s, s), (s, s), (0, 0))
-
-    def one_pass(params, raw_u8, jitter):
-        imgs = raw_u8.astype(dtype) * (1.0 / 255.0) + jitter
-        canvas = letterbox_batch(imgs, plan)
-        det = model(params, canvas)
-        return det
-
-    def chained(params, raw_u8):
-        def body(i, acc):
-            det = one_pass(params, raw_u8, (acc % 3).astype(dtype) * 1e-6)
-            return acc + jnp.sum(det.num)
-
-        return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
-
-    bench_fn = jax.jit(chained)
-    trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
-
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.integers(0, 255, (args.batch, s, s, 3), dtype=np.uint8))
 
-    # warm both programs (compile)
-    int(bench_fn(params, raw))
-    int(trivial(raw))
+    # realistic suppression load: bias-shift the objectness so the NMS
+    # actually has candidates to suppress
+    params, delta, cand_count = calibrate_candidate_density(
+        model, params, raw, dtype, plan, target=args.candidates
+    )
 
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(trivial(raw))
-        ts.append(time.perf_counter() - t0)
-    t_triv = min(ts)
-
-    best = float("inf")
-    for _ in range(args.repeat):
-        t0 = time.perf_counter()
-        int(bench_fn(params, raw))
-        best = min(best, time.perf_counter() - t0)
-
-    elapsed = max(best - t_triv, 1e-9)
-    imgs_per_sec = args.batch * args.iters / elapsed
+    serving = run_config(model, params, raw, dtype, plan, args.iters, args.repeat)
     result = {
         "metric": f"imgs/sec/chip {args.arch}@{s} batch{args.batch} e2e(letterbox+NMS) {args.dtype}",
-        "value": round(imgs_per_sec, 2),
+        "value": round(serving, 2),
         "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / 1500.0, 4),
+        "vs_baseline": round(serving / 1500.0, 4),
+        "candidates_per_img@0.25": round(float(cand_count), 1),
+        "obj_bias_shift": round(float(delta), 3),
     }
+
+    if not args.skip_eval_config:
+        from dataclasses import replace
+
+        eval_model = replace(model, score_thresh=0.005, pre_nms_topk=args.eval_topk)
+        result["eval_imgs_per_sec"] = round(
+            run_config(eval_model, params, raw, dtype, plan, args.iters, args.repeat), 2
+        )
+        result["eval_config"] = f"score0.005 topk{args.eval_topk} exact"
+
     print(json.dumps(result))
 
 

@@ -155,25 +155,45 @@ def nms_keep_mask(
                            stop_after=stop_after)
 
 
-def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int) -> jax.Array:
-    """Exact k-th-largest value (as monotonic int32 float bits) among valid
-    entries, via branchless bisection on the bit pattern (31 masked counts —
-    ~100x cheaper than a 328k sort on TPU).  Positive IEEE-754 floats compare
-    identically as int32, so the converged ``lo`` satisfies
-    count(bits >= lo) >= k > count(bits >= lo+1) exactly (or lo = thr+1 when
-    fewer than k valid entries exist, selecting them all)."""
+def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
+                     passes: int = 9) -> jax.Array:
+    """Exact k-th-largest value (as monotonic float bits) among valid
+    entries, via a branchless 16-ary search on the bit pattern — ~100x
+    cheaper than a 328k sort on TPU.  Positive IEEE-754 floats compare
+    identically as their signed-int bit patterns (works for f32/int32 and
+    bf16/int16 alike).  Each pass reads the data once and counts against 15
+    pivots simultaneously (compute-cheap on the VPU, HBM-bound): 9 passes
+    shrink the 2^31 int32 range to a point (4 suffice for int16).  The
+    converged ``lo`` satisfies count(bits >= lo) >= k > count(bits >= lo+1)
+    exactly (or lo = min valid bits when fewer than k valid entries exist,
+    selecting them all)."""
+    arms = 16
+    dt = bits.dtype
 
     def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        c = jnp.sum((valid & (bits >= mid)).astype(jnp.int32))
-        big = c >= k
-        return jnp.where(big, mid, lo), jnp.where(big, hi, mid)
+        lo, hi = state  # int32 scalars; invariant: count(>=lo) >= k > count(>=hi)
+        step = jnp.maximum((hi - lo) // arms, 1)
+        pivots = lo + step * jnp.arange(1, arms, dtype=jnp.int32)  # (15,)
+        pivots = jnp.minimum(pivots, hi)
+        counts = jnp.sum(
+            ((bits[:, None] >= pivots[None, :].astype(dt)) & valid[:, None]).astype(
+                jnp.int32
+            ),
+            axis=0,
+        )  # (15,) descending
+        ge = counts >= k
+        m = jnp.sum(ge.astype(jnp.int32))  # pivots still satisfying the lo invariant
+        new_lo = jnp.where(m > 0, lo + step * m, lo)
+        new_hi = jnp.where(m < arms - 1, lo + step * (m + 1), hi)
+        return new_lo, jnp.minimum(new_hi, hi)
 
-    lo0 = jnp.min(jnp.where(valid, bits, jnp.int32(2**30)))  # lowest valid
-    hi0 = jnp.int32(0x40000000)  # bits of 2.0; scores are sigmoid products <= 1
-    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
-    return lo
+    if dt == jnp.int16:
+        sentinel, hi0 = jnp.int32(0x4000), jnp.int32(0x4000)  # bits of bf16 2.0
+    else:
+        sentinel, hi0 = jnp.int32(2**30), jnp.int32(0x40000000)  # bits of f32 2.0
+    lo0 = jnp.min(jnp.where(valid, bits.astype(jnp.int32), sentinel))  # lowest valid
+    lo, _ = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
+    return lo.astype(dt)
 
 
 def select_topk_threshold(
@@ -195,10 +215,14 @@ def select_topk_threshold(
       3. a small descending sort of the k survivors (skippable when order
          does not matter, e.g. anchor pre-selection).
 
-    flat: (n,) f32 scores in [0, 1].  Returns (values, indices) with empty
-    slots valued -1.0 — the same contract as masked ``lax.top_k``.  Matches
-    ``lax.top_k`` output up to tie ORDER (ties resolve in index order within
-    the boundary value; the selected SET and all values are identical).
+    flat: (n,) f32 or bf16 scores in [0, 1].  Returns (values, indices) with
+    empty slots valued -1.0 — the same contract as masked ``lax.top_k``.
+    For f32 input, matches ``lax.top_k`` output up to tie ORDER (ties resolve
+    in index order within the boundary value; the selected SET and all values
+    are identical).  For bf16 input the search runs on int16 bits (4 passes
+    instead of 9, half the count bandwidth) and the threshold is rounded DOWN
+    one ulp so boundary candidates are over- rather than under-selected —
+    callers re-apply the exact threshold after rescoring.
     """
     n = flat.shape[0]
     k = min(k, n)
@@ -209,12 +233,23 @@ def select_topk_threshold(
     npad = flat.shape[0]
     nc_chunks = npad // w
 
-    bits = jax.lax.bitcast_convert_type(flat.astype(jnp.float32), jnp.int32)
-    thr_bits = jax.lax.bitcast_convert_type(
-        jnp.asarray(score_thresh, jnp.float32), jnp.int32
-    )
-    valid = bits > thr_bits
-    t = _bisect_kth_bits(bits, valid, k)
+    if flat.dtype == jnp.bfloat16:
+        bits = jax.lax.bitcast_convert_type(flat, jnp.int16)
+        thr_bits = (
+            jax.lax.bitcast_convert_type(
+                jnp.asarray(score_thresh, jnp.bfloat16), jnp.int16
+            )
+            - 1
+        )
+        valid = bits > thr_bits
+        t = _bisect_kth_bits(bits, valid, k, passes=5)
+    else:
+        bits = jax.lax.bitcast_convert_type(flat.astype(jnp.float32), jnp.int32)
+        thr_bits = jax.lax.bitcast_convert_type(
+            jnp.asarray(score_thresh, jnp.float32), jnp.int32
+        )
+        valid = bits > thr_bits
+        t = _bisect_kth_bits(bits, valid, k)
 
     sel_gt = valid & (bits >= t + 1)  # strictly above the boundary: < k of them
     sel_eq = valid & (bits == t)      # boundary ties fill remaining slots
@@ -235,8 +270,18 @@ def select_topk_threshold(
     phys = c_of_s % nc_chunks
     is_eq_tier = c_of_s >= nc_chunks
 
+    # ONE row gather; the tier masks are recomputed from the gathered values
+    # (row gathers are the latency-bound cost at k=4096, so halving them
+    # matters more than the recompute)
     rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
-    rows_m = jnp.where(is_eq_tier[:, None], eq_c[phys], gt_c[phys])
+    if flat.dtype == jnp.bfloat16:
+        rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int16)
+    else:
+        rows_b = jax.lax.bitcast_convert_type(rows_v.astype(jnp.float32), jnp.int32)
+    rows_valid = rows_b > thr_bits
+    rows_m = rows_valid & jnp.where(
+        is_eq_tier[:, None], rows_b == t, rows_b >= t + 1
+    )
     rank_lane = jnp.cumsum(rows_m.astype(jnp.int32), axis=1) - 1
     hit = rows_m & (rank_lane == p[:, None])
     vals = jnp.sum(jnp.where(hit, rows_v, 0.0), axis=1)
@@ -376,6 +421,11 @@ def _single_image_nms_from_logits(
     the <= k1 selected anchors — the (Na, 4) fp32 box materialization the
     eager path pays (reference decodes everything up front,
     box_head.py:328-348) never happens.
+
+    (A single-stage full-domain variant — one bisect-select over all 2M
+    (anchor, class) bf16 pairs, no anchor pre-screen — was measured and
+    REJECTED: the full-domain count passes + chunk lookup cost more than the
+    two-stage gathers they replace; see docs/PERF.md.)
     """
     na = logits.shape[0]
     k = min(pre_nms_topk, na * num_classes)

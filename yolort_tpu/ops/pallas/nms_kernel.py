@@ -64,7 +64,6 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: floa
                 tile: int, stop_after: int):
     k = boxes_t_ref.shape[1]
     num_tiles = k // tile
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1,K)
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -86,11 +85,21 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, *, iou_thresh: floa
             tile_cols = boxes_t_ref[:, pl.ds(start, tile)]  # (4,T)
 
             # --- suppression by earlier, already-final candidates ---------
-            # (1,K) alive-prefix row  x  (K,T) sup matrix  ->  (1,T)
-            iou_kt = _iou_cols(boxes_ref[:, :], tile_cols)  # (K,T)
-            sup_kt = jnp.where(iou_kt > iou_thresh, 1.0, 0.0)
-            prev_row = jnp.where(col_idx < start, keep_ref[:, :], 0.0)  # (1,K)
-            sup_prev = jnp.dot(prev_row, sup_kt, preferred_element_type=jnp.float32)
+            # triangular block walk: only row-tiles s < t can suppress tile t
+            # (the suppression matrix is upper-triangular in score order), so
+            # per-tile IoU work is (t+1)*T^2 instead of K*T — half the total
+            def row_body(s, sup_acc):
+                rstart = pl.multiple_of(s * tile, tile)
+                alive_row = keep_ref[:, pl.ds(rstart, tile)]  # (1,T) finalized
+                iou_st = _iou_cols(boxes_ref[pl.ds(rstart, tile), :], tile_cols)
+                sup_st = jnp.where(iou_st > iou_thresh, 1.0, 0.0)
+                return sup_acc + jnp.dot(
+                    alive_row, sup_st, preferred_element_type=jnp.float32
+                )
+
+            sup_prev = jax.lax.fori_loop(
+                0, t, row_body, jnp.zeros((1, tile), jnp.float32)
+            )
             alive = jnp.where(sup_prev > 0.0, 0.0, tile_valid)  # (1,T)
 
             # --- within-tile greedy via convergent fixed point ------------
