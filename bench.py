@@ -132,6 +132,8 @@ def main():
     ap.add_argument("--candidates", type=int, default=120,
                     help="calibrated above-0.25 candidate pairs per image")
     ap.add_argument("--skip-eval-config", action="store_true")
+    ap.add_argument("--skip-int8", action="store_true",
+                    help="skip the int8-compute serving config")
     ap.add_argument("--stem-s2d", action="store_true",
                     help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
@@ -140,7 +142,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from yolort_tpu.models.transform import LetterboxPlan
+    from yolort_tpu.models.transform import LetterboxPlan, letterbox_batch
     from yolort_tpu.models.yolo import build_yolo
     from yolort_tpu.utils import cast_floating
 
@@ -187,6 +189,22 @@ def main():
             run_config(eval_model, params, raw, dtype, plan, args.iters, args.repeat), 2
         )
         result["eval_config"] = f"score0.005 topk{args.eval_topk} exact"
+
+    if not args.skip_int8:
+        # int8-compute serving config (MXU s8 path + int8 inter-conv
+        # activations; parity model of the reference's ppq INT8 engines)
+        from yolort_tpu.ops.quantization import (
+            calibrate_activations,
+            quantize_compute_params,
+        )
+
+        sub = raw[:2].astype(dtype) * (1.0 / 255.0)
+        canvas = jax.jit(lambda r: letterbox_batch(r, plan))(sub)
+        pc = calibrate_activations(model.head_outputs, params, [canvas])
+        qparams = jax.device_put(quantize_compute_params(pc))
+        result["int8_imgs_per_sec"] = round(
+            run_config(model, qparams, raw, dtype, plan, args.iters, args.repeat), 2
+        )
 
     print(json.dumps(result))
 

@@ -108,3 +108,27 @@ def test_one_cycle_schedule():
     assert float(sched(100)) == pytest.approx(0.001, rel=1e-3)
     mid = float(sched(55))
     assert 0.001 < mid < 0.01
+
+
+def test_model_ema_trajectory_matches_reference_simulation():
+    """Pin ModelEMA against an independent numpy simulation of the reference
+    update rule (v5/utils/torch_utils.py:339-377): EMA seeded with the
+    initial weights at construction, then on every optimizer step
+    d = decay*(1-exp(-updates/tau)); e = e*d + p*(1-d)."""
+    import numpy as np
+    from yolort_tpu.trainer.utils import ModelEMA
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(5,)).astype(np.float32)
+    ema = ModelEMA(decay=0.9999, tau=2000.0, params={"w": jnp.asarray(p0)})
+
+    e_sim = p0.copy()
+    p = p0.copy()
+    for step in range(1, 50):
+        p = p - 0.05 * rng.normal(size=(5,)).astype(np.float32)  # fake SGD
+        ema.update({"w": jnp.asarray(p)})
+        d = 0.9999 * (1 - np.exp(-step / 2000.0))
+        e_sim = e_sim * d + p * (1 - d)
+        np.testing.assert_allclose(np.asarray(ema.params["w"]), e_sim, rtol=1e-5)
+    # the ramp keeps early-training EMA close to (but not a copy of) params
+    assert not np.array_equal(np.asarray(ema.params["w"]), p)

@@ -28,6 +28,7 @@ from yolort_tpu.ops.blocks import (
     Params,
     act_for_version,
     upsample2x,
+    _qconcat,
 )
 
 
@@ -155,7 +156,7 @@ class PathAggregationNetwork:
             last = inner[3 * idx + 1](p["inner"][str(3 * idx + 1)], last)
             inners.insert(0, last)
             last = upsample2x(last)
-            last = jnp.concatenate([last, x[num_features - idx - 2]], axis=-1)
+            last = _qconcat([last, x[num_features - idx - 2]], axis=-1)
         inners.insert(0, last)
 
         # Ascending the feature pyramid
@@ -164,7 +165,7 @@ class PathAggregationNetwork:
         last = results[0]
         for idx in range(num_features - 1):
             last = layer[2 * idx + 1](p["layer"][str(2 * idx + 1)], last)
-            last = jnp.concatenate([last, inners[idx + 1]], axis=-1)
+            last = _qconcat([last, inners[idx + 1]], axis=-1)
             last = layer[2 * idx + 2](p["layer"][str(2 * idx + 2)], last)
             results.append(last)
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,7 @@ def fuse_conv_bn(w, gamma, beta, mean, var, eps: float = BN_EPS):
 # core conv
 # ---------------------------------------------------------------------------
 
-def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1):
+def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1, preferred_element_type=None):
     """Plain NHWC/HWIO convolution."""
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -121,7 +121,119 @@ def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        preferred_element_type=preferred_element_type,
     )
+
+
+# --- int8 compute path ------------------------------------------------------
+#
+# When a conv leaf carries {'wq': int8 HWIO, 'ws': (O,) f32, 'xs': () f32}
+# (produced by ops.quantization.quantize_compute_params), the conv runs on
+# the MXU's native int8 path (s8 x s8 -> s32, ~2x bf16 throughput on v5e):
+# the bf16 input is requantized with the calibrated per-tensor scale, the
+# int32 accumulator is dequantized with xs*ws per output channel, and
+# bias+activation run in the f32 epilogue that XLA fuses into the conv.
+# Analogue of the reference's ppq INT8 deployment flow (deployment/ppq),
+# where calibrated TensorRT engines compute in int8.
+
+_CALIBRATION: Optional[list] = None  # set by quantization.calibrate(); eager-mode only
+
+
+class QTensor(NamedTuple):
+    """int8 activation tensor flowing BETWEEN quantized convs.
+
+    The whole point of int8 on a bandwidth-bound model is halving the HBM
+    bytes of the inter-layer activations, which only happens if the producing
+    conv's epilogue writes int8 directly (XLA does not requantize into the
+    producer on its own — measured: naive per-conv quantize/dequantize ADDS
+    traffic).  ``q`` is the int8 payload, ``s`` the () f32 scale
+    (value = q * s), and ``ref`` a zero-length dtype carrier for the float
+    compute dtype to dequantize into."""
+
+    q: jax.Array
+    s: jax.Array
+    ref: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def _as_float(x):
+    """Dequantize a QTensor (identity on float tensors) — the boundary used
+    by blocks/ops that have no int8-domain equivalent."""
+    if isinstance(x, QTensor):
+        ft = x.ref.dtype
+        return x.q.astype(ft) * x.s.astype(ft)
+    return x
+
+
+def _requantize(y, out_scale) -> QTensor:
+    q = jnp.clip(jnp.round(y * (1.0 / out_scale).astype(y.dtype)), -127.0, 127.0)
+    return QTensor(q.astype(jnp.int8), out_scale, jnp.zeros((0,), y.dtype))
+
+
+def _qconcat(parts, axis=-1):
+    """Concat that stays in int8 when every part is a QTensor (rescaling to
+    the max scale in the int8 domain); falls back to float otherwise."""
+    if all(isinstance(p, QTensor) for p in parts):
+        common = parts[0].s
+        for p in parts[1:]:
+            common = jnp.maximum(common, p.s)
+        ft = parts[0].ref.dtype
+        qs = [
+            jnp.clip(jnp.round(p.q.astype(ft) * (p.s / common).astype(ft)), -127.0, 127.0).astype(jnp.int8)
+            for p in parts
+        ]
+        return QTensor(jnp.concatenate(qs, axis=axis), common, parts[0].ref)
+    return jnp.concatenate([_as_float(p) for p in parts], axis=axis)
+
+
+def _qadd(a, b):
+    """Residual add.  Both QTensor: int8-domain add under the safe upper
+    bound scale sa+sb (never clips beyond rounding); else float add."""
+    if isinstance(a, QTensor) and isinstance(b, QTensor):
+        ft = a.ref.dtype
+        s = a.s + b.s
+        y = a.q.astype(ft) * (a.s / s).astype(ft) + b.q.astype(ft) * (b.s / s).astype(ft)
+        return QTensor(jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8), s, a.ref)
+    return _as_float(a) + _as_float(b)
+
+
+def _quantize_input(x, inv_scale):
+    # quantize math runs in the activation dtype (bf16 on TPU): the VPU does
+    # bf16 elementwise at 2x f32 rate, and integers up to 256 are exact in
+    # bf16 so the clip/round stay faithful (the product picks up <=0.5 ulp,
+    # within the +-0.5-level PTQ noise floor)
+    xf = x * inv_scale.astype(x.dtype)
+    return jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
+
+
+def _conv_int8(p: Params, x, *, stride, padding, groups):
+    """int8 conv core: returns the float (bias-applied, pre-activation)
+    output.  Accepts a QTensor input directly (no requantize — the producer's
+    runtime scale replaces the calibrated 'xs')."""
+    if isinstance(x, QTensor):
+        xq, in_s, ft = x.q, x.s, x.ref.dtype
+    else:
+        xq, in_s, ft = _quantize_input(x, 1.0 / p["xs"]), p["xs"], x.dtype
+    y = conv2d_nhwc(
+        xq, p["wq"], stride=stride, padding=padding, groups=groups,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(ft) * (in_s * p["ws"]).astype(ft)
+    if "b" in p:
+        y = y + p["b"].astype(ft)
+    return y
+
+
+def _observe_calibration(p: Params, x, key: str = "_absmax") -> None:
+    """Eager-mode activation-range capture: record the abs-max of this conv's
+    input (or output, key='_out_absmax') directly into its params dict
+    (mutation is safe — calibration runs outside jit), accumulating the max
+    across batches."""
+    amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    p[key] = max(float(p.get(key, 0.0)), amax)
 
 
 @dataclass(frozen=True)
@@ -152,6 +264,14 @@ class Conv:
         }
 
     def __call__(self, p: Params, x):
+        if "wq" in p:
+            y = _ACTS[self.act](
+                _conv_int8(p, x, stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
+            )
+            return _requantize(y, p["os"]) if "os" in p else y
+        x = _as_float(x)
+        if _CALIBRATION is not None:
+            _observe_calibration(p, x)
         y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
@@ -159,7 +279,10 @@ class Conv:
             scale = p["gamma"] * jax.lax.rsqrt(p["var"] + BN_EPS)
             bias = p["beta"] - p["mean"] * scale
             y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
-        return _ACTS[self.act](y)
+        y = _ACTS[self.act](y)
+        if _CALIBRATION is not None:
+            _observe_calibration(p, y, "_out_absmax")
+        return y
 
 
 @dataclass(frozen=True)
@@ -186,6 +309,12 @@ class Conv2dOnly:
         return out
 
     def __call__(self, p: Params, x):
+        if "wq" in p:
+            y = _conv_int8(p, x, stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
+            return _requantize(y, p["os"]) if "os" in p else y
+        x = _as_float(x)
+        if _CALIBRATION is not None:
+            _observe_calibration(p, x)
         y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
@@ -240,7 +369,7 @@ class Bottleneck:
 
     def __call__(self, p: Params, x):
         y = self.cv2(p["cv2"], self.cv1(p["cv1"], x))
-        return x + y if (self.shortcut and self.c1 == self.c2) else y
+        return _qadd(x, y) if (self.shortcut and self.c1 == self.c2) else y
 
 
 @dataclass(frozen=True)
@@ -280,7 +409,7 @@ class C3:
         for i, b in enumerate(self.m):
             y1 = b(p["m"][str(i)], y1)
         y2 = self.cv2(p["cv2"], x)
-        return self.cv3(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
+        return self.cv3(p["cv3"], _qconcat([y1, y2], axis=-1))
 
 
 @dataclass(frozen=True)
@@ -337,7 +466,7 @@ def max_pool_same(x, k: int):
     pad = k // 2
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else np.int8(jnp.iinfo(x.dtype).min) if x.dtype == jnp.int8 else jnp.iinfo(x.dtype).min,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),
@@ -370,14 +499,22 @@ class SPP:
 
     def __call__(self, p: Params, x):
         x = self.cv1(p["cv1"], x)
+
+        def pool(v, k):
+            # max is monotonic: pooling commutes with dequantization, so a
+            # QTensor pools in the int8 domain under the same scale
+            if isinstance(v, QTensor):
+                return QTensor(max_pool_same(v.q, k), v.s, v.ref)
+            return max_pool_same(v, k)
+
         if self.k == (5, 9, 13):
-            y1 = max_pool_same(x, 5)
-            y2 = max_pool_same(y1, 5)
-            y3 = max_pool_same(y2, 5)
+            y1 = pool(x, 5)
+            y2 = pool(y1, 5)
+            y3 = pool(y2, 5)
             pooled = [y1, y2, y3]
         else:
-            pooled = [max_pool_same(x, k) for k in self.k]
-        return self.cv2(p["cv2"], jnp.concatenate([x] + pooled, axis=-1))
+            pooled = [pool(x, k) for k in self.k]
+        return self.cv2(p["cv2"], _qconcat([x] + pooled, axis=-1))
 
 
 # SPPF has the exact same parameters as SPP(k=(5,9,13)); alias for clarity.
@@ -419,11 +556,13 @@ class Focus:
         return {"conv": self.conv.init(key)}
 
     def __call__(self, p: Params, x):
-        return self.conv(p["conv"], space_to_depth(x))
+        return self.conv(p["conv"], space_to_depth(_as_float(x)))
 
 
 def upsample2x(x):
     """Nearest-neighbour 2x upsample, NHWC (reference: nn.Upsample(scale_factor=2))."""
+    if isinstance(x, QTensor):
+        return QTensor(upsample2x(x.q), x.s, x.ref)
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
@@ -460,7 +599,7 @@ class GhostConv:
 
     def __call__(self, p: Params, x):
         y = self.cv1(p["cv1"], x)
-        return jnp.concatenate([y, self.cv2(p["cv2"], y)], axis=-1)
+        return _qconcat([y, self.cv2(p["cv2"], y)], axis=-1)
 
 
 @dataclass(frozen=True)
@@ -508,7 +647,7 @@ class GhostBottleneck:
                 s = m(p["shortcut"][str(i)], s)
         else:
             s = x
-        return y + s
+        return _qadd(y, s)
 
 
 @dataclass(frozen=True)
@@ -523,6 +662,8 @@ class C3Ghost(C3):
 
 def contract(x, gain: int = 2):
     """(N,H,W,C) -> (N,H/g,W/g,C*g*g) (common.py:419, NHWC form)."""
+    if isinstance(x, QTensor):
+        return QTensor(contract(x.q, gain), x.s, x.ref)
     n, h, w, c = x.shape
     g = gain
     x = x.reshape(n, h // g, g, w // g, g, c)
@@ -532,6 +673,8 @@ def contract(x, gain: int = 2):
 
 def expand(x, gain: int = 2):
     """(N,H,W,C) -> (N,H*g,W*g,C/(g*g)) (common.py:434, NHWC form)."""
+    if isinstance(x, QTensor):
+        return QTensor(expand(x.q, gain), x.s, x.ref)
     n, h, w, c = x.shape
     g = gain
     x = x.reshape(n, h, w, g, g, c // (g * g))
@@ -553,6 +696,7 @@ class Classify:
         return {"conv": self.conv.init(key)}
 
     def __call__(self, p: Params, x):
+        x = _as_float(x)
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         return self.conv(p["conv"], pooled).reshape(x.shape[0], -1)
 
@@ -624,7 +768,7 @@ class InvertedResidual:
         if "se" in self.layers:
             y = self.layers["se"](p["se"], y)
         y = self.layers["project"](p["project"], y)
-        return x + y if (self.s == 1 and self.cin == self.cout) else y
+        return _qadd(x, y) if (self.s == 1 and self.cin == self.cout) else y
 
 
 def _make_div8(v: int) -> int:
@@ -737,8 +881,10 @@ class TransformerBlock:
         return out
 
     def __call__(self, p: Params, x):
+        x = _as_float(x)
         if self.conv is not None:
             x = self.conv(p["conv"], x)
+        x = _as_float(x)
         n, h, w, c = x.shape
         # reference flattens NCHW to (H*W, N, C); NHWC flatten gives same token order
         tokens = x.reshape(n, h * w, c).transpose(1, 0, 2)
@@ -778,4 +924,4 @@ class C3TR:
     def __call__(self, p: Params, x):
         y1 = self.m(p["m"], self.cv1(p["cv1"], x))
         y2 = self.cv2(p["cv2"], x)
-        return self.cv3(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
+        return self.cv3(p["cv3"], _qconcat([y1, y2], axis=-1))

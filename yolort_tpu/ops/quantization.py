@@ -91,6 +91,123 @@ def quantization_error(params: Dict, qparams: Dict) -> Dict[str, float]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# int8 *compute* path (MXU s8xs8->s32, ~2x bf16 throughput on v5e)
+# ---------------------------------------------------------------------------
+
+def calibrate_activations(apply_fn, params: Dict, batches) -> Dict:
+    """Run ``apply_fn(params, batch)`` eagerly over calibration batches while
+    every Conv records the abs-max of its input into its own params leaf
+    (``_absmax``).  Analogue of the reference ppq flow's calibration pass
+    (deployment/ppq/quantize.py).  Runs on CPU (eager, one-time); returns the
+    annotated params (numpy-backed).
+    """
+    from yolort_tpu.ops import blocks
+
+    params = jax.device_get(params)  # uncommit from any accelerator
+    cpu = jax.devices("cpu")[0]
+    # run calibration in the params' own compute dtype (e.g. bf16)
+    wdt = next(
+        (np.asarray(l).dtype for l in jax.tree_util.tree_leaves(params)
+         if np.asarray(l).dtype.kind == "f" or str(np.asarray(l).dtype) == "bfloat16"),
+        np.float32,
+    )
+    blocks._CALIBRATION = []
+    try:
+        with jax.default_device(cpu):
+            for batch in batches:
+                b = jnp.asarray(jax.device_get(batch))
+                if jnp.issubdtype(b.dtype, jnp.floating):
+                    b = b.astype(wdt)
+                apply_fn(params, b)
+    finally:
+        blocks._CALIBRATION = None
+    return params
+
+
+def _is_conv_leaf(node: Dict) -> bool:
+    return (
+        isinstance(node, dict)
+        and "w" in node
+        and not isinstance(node["w"], dict)
+        and np.asarray(node["w"]).ndim == 4
+    )
+
+
+def quantize_compute_params(
+    params: Dict,
+    skip: Tuple[str, ...] = (),
+    min_reduce: int = 32,
+    predicate=None,
+    chain: bool = True,
+) -> Dict:
+    """Convert calibrated conv leaves to the int8-compute form
+    ``{'wq': int8 HWIO, 'ws': (O,) f32, 'xs': () f32, 'b': f32}`` understood
+    by ``ops.blocks.Conv/Conv2dOnly`` (s8 conv -> s32 -> fused f32 epilogue).
+
+    Leaves are quantized only when (a) calibration recorded an input range,
+    (b) the reduction depth kh*kw*cin_per_group >= ``min_reduce`` (skips
+    depthwise convs, where int8 buys nothing and the error is largest), and
+    (c) the leaf's '/'-joined path doesn't start with an entry of ``skip``.
+    Unfused-BN leaves are folded first (fuse_conv_bn).  ``_absmax`` markers
+    are stripped from the output either way.
+    """
+    from yolort_tpu.ops.blocks import fuse_conv_bn
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        if _is_conv_leaf(node):
+            out = {k: v for k, v in node.items() if k not in ("_absmax", "_out_absmax")}
+            amax = node.get("_absmax")
+            out_amax = node.get("_out_absmax")
+            w = np.asarray(node["w"], np.float32)
+            kh, kw, cin_g, _ = w.shape
+            p_str = "/".join(path)
+            if (
+                amax is None
+                or amax <= 0.0
+                or kh * kw * cin_g < min_reduce
+                or any(p_str.startswith(s) for s in skip)
+                or (predicate is not None and not predicate(p_str, w.shape))
+            ):
+                return out
+            if "gamma" in node:  # fold eval-mode BN before quantizing
+                w, b = fuse_conv_bn(
+                    w, node["gamma"], node["beta"], node["mean"], node["var"]
+                )
+            else:
+                b = np.asarray(node["b"], np.float32) if "b" in node else None
+            out = {}
+            wq, ws = quantize_tensor_per_channel(w, axis=-1)
+            out["wq"] = jnp.asarray(wq)
+            out["ws"] = jnp.asarray(np.atleast_1d(ws), jnp.float32)
+            out["xs"] = jnp.asarray(float(amax) / 127.0, jnp.float32)
+            if chain and out_amax is not None and out_amax > 0.0:
+                # the epilogue requantizes to int8 under this post-activation
+                # scale, so downstream quantized convs read int8 straight
+                # from HBM (the actual bandwidth win)
+                out["os"] = jnp.asarray(float(out_amax) / 127.0, jnp.float32)
+            if b is not None:
+                out["b"] = jnp.asarray(b, jnp.float32)
+            return out
+        return {k: walk(v, path + (k,)) for k, v in node.items()}
+
+    return walk(params, ())
+
+
+def strip_calibration(params: Dict) -> Dict:
+    """Drop ``_absmax`` markers (so the pytree is jit-clean) without
+    quantizing."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items() if k not in ("_absmax", "_out_absmax")}
+        return node
+
+    return walk(params)
+
+
 class CalibrationObserver:
     """Activation-range calibration (moving abs-max over batches) for
     exporting to int8-native runtimes."""

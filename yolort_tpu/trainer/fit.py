@@ -64,7 +64,10 @@ def fit(
     """Train; returns the final TrainState (EMA params in state if enabled)."""
     step_fn = make_train_step(task)
     state = state or task.init_state(jax.random.PRNGKey(seed))
-    ema = ModelEMA() if use_ema else None
+    # seed the EMA with the pre-training params, like the reference's
+    # deepcopy-at-construction (v5/utils/torch_utils.py:345) — the first
+    # update must BLEND toward step-1 params, not copy them
+    ema = ModelEMA(params=jax.tree_util.tree_map(jnp.asarray, state.params)) if use_ema else None
     stopper = EarlyStopping(patience=patience) if patience else None
     logger = MetricLogger()
 
