@@ -175,11 +175,15 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
         step = jnp.maximum((hi - lo) // arms, 1)
         pivots = lo + step * jnp.arange(1, arms, dtype=jnp.int32)  # (15,)
         pivots = jnp.minimum(pivots, hi)
-        counts = jnp.sum(
-            ((bits[:, None] >= pivots[None, :].astype(dt)) & valid[:, None]).astype(
-                jnp.int32
-            ),
-            axis=0,
+        # 15 separate masked count-reductions: XLA fuses them into ONE
+        # bandwidth-speed stream with 15 accumulators.  The broadcast
+        # formulation ((n,15) compare then axis-0 sum) is ~6x slower — the
+        # (n,15) intermediate defeats the reduce fusion.
+        counts = jnp.stack(
+            [
+                jnp.sum((masked >= pivots[i].astype(dt)).astype(jnp.int32))
+                for i in range(arms - 1)
+            ]
         )  # (15,) descending
         ge = counts >= k
         m = jnp.sum(ge.astype(jnp.int32))  # pivots still satisfying the lo invariant
@@ -191,6 +195,9 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
         sentinel, hi0 = jnp.int32(0x4000), jnp.int32(0x4000)  # bits of bf16 2.0
     else:
         sentinel, hi0 = jnp.int32(2**30), jnp.int32(0x40000000)  # bits of f32 2.0
+    # fold the valid mask into the data ONCE (dt_min sits below every pivot,
+    # so masked entries never count) — halves the per-pass stream
+    masked = jnp.where(valid, bits, jnp.asarray(jnp.iinfo(dt).min, dt))
     lo0 = jnp.min(jnp.where(valid, bits.astype(jnp.int32), sentinel))  # lowest valid
     lo, _ = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
     return lo.astype(dt)
@@ -263,7 +270,11 @@ def select_topk_threshold(
     total = off[-1] + cnt[-1]
 
     s_iota = jnp.arange(k, dtype=jnp.int32)
-    # chunk containing output slot s: #\{chunks with offset <= s\} - 1
+    # chunk containing output slot s: #\{chunks with offset <= s\} - 1.
+    # (A vectorized binary search — log2(m) rounds of k element-gathers —
+    # was measured 3x SLOWER than this compare-reduce at batch 128: random
+    # element gathers are latency-bound on TPU, while the (k, m) compare
+    # streams on the VPU.)
     c_of_s = jnp.sum((off[None, :] <= s_iota[:, None]).astype(jnp.int32), axis=1) - 1
     c_of_s = jnp.clip(c_of_s, 0, 2 * nc_chunks - 1)
     p = s_iota - off[c_of_s]  # within-chunk rank
@@ -384,16 +395,30 @@ def _single_image_nms(
     keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
                          impl=nms_impl, stop_after=detections_per_img)
 
-    # compact kept candidates (already score-ordered) into D padded slots
-    d = detections_per_img
+    out_boxes, out_scores, out_labels, out_valid, num = _compact_detections(
+        keep, cand_boxes, top_scores, labels, detections_per_img
+    )
+    return Detections(out_boxes, out_scores, out_labels, out_valid, num)
+
+
+def _compact_detections(keep, cand_boxes, top_scores, labels, d):
+    """Compact kept candidates (already score-ordered) into d padded slots.
+
+    Scatter-free: XLA TPU scatter serializes per update (~5 ms at k=4096,
+    batch 128), while the (k, d) one-hot compare-reduce streams on the VPU
+    (~1 ms) and is bit-exact (each output slot receives exactly one term)."""
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep & (rank < d), rank, d)  # d == drop
-    out_boxes = jnp.zeros((d, 4), cand_boxes.dtype).at[slot].set(cand_boxes, mode="drop")
-    out_scores = jnp.zeros((d,), top_scores.dtype).at[slot].set(top_scores, mode="drop")
-    out_labels = jnp.zeros((d,), jnp.int32).at[slot].set(labels, mode="drop")
+    hit = keep[:, None] & (rank[:, None] == jnp.arange(d, dtype=jnp.int32)[None, :])
+    out_boxes = jnp.sum(
+        jnp.where(hit[:, :, None], cand_boxes[:, None, :], 0.0), axis=0
+    ).astype(cand_boxes.dtype)
+    out_scores = jnp.sum(jnp.where(hit, top_scores[:, None], 0.0), axis=0).astype(
+        top_scores.dtype
+    )
+    out_labels = jnp.sum(jnp.where(hit, labels[:, None], 0), axis=0).astype(jnp.int32)
     num = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), d)
     out_valid = jnp.arange(d) < num
-    return Detections(out_boxes, out_scores, out_labels, out_valid, num)
+    return out_boxes, out_scores, out_labels, out_valid, num
 
 
 def _single_image_nms_from_logits(
@@ -499,14 +524,10 @@ def _single_image_nms_from_logits(
     keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
                          impl=nms_impl, stop_after=detections_per_img)
 
-    d = detections_per_img
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep & (rank < d), rank, d)
-    out_boxes = jnp.zeros((d, 4), cand_boxes.dtype).at[slot].set(cand_boxes, mode="drop")
-    out_scores = jnp.zeros((d,), top_scores.dtype).at[slot].set(top_scores, mode="drop")
-    out_labels = jnp.zeros((d,), jnp.int32).at[slot].set(labels, mode="drop")
-    num = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), d)
-    return Detections(out_boxes, out_scores, out_labels, jnp.arange(d) < num, num)
+    out_boxes, out_scores, out_labels, out_valid, num = _compact_detections(
+        keep, cand_boxes, top_scores, labels, detections_per_img
+    )
+    return Detections(out_boxes, out_scores, out_labels, out_valid, num)
 
 
 def batched_postprocess_from_heads(
