@@ -52,6 +52,7 @@ class YOLO:
     nms_tile_size: int = 256
     nms_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
     classes_per_anchor: Optional[int] = None  # None = exact multi-label
+    selection: str = "auto"  # 'auto' | 'single' | 'two_stage' (ops/nms.py)
     stem_s2d: bool = False  # r6.0 only: space-to-depth stem (see darknet.stem_to_s2d)
 
     def __post_init__(self):
@@ -147,6 +148,7 @@ class YOLO:
             nms_tile_size=self.nms_tile_size,
             nms_impl=self.nms_impl,
             classes_per_anchor=self.classes_per_anchor,
+            selection=self.selection,
         )
 
     def with_thresholds(self, score_thresh=None, nms_thresh=None, detections_per_img=None,

@@ -204,7 +204,7 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
 
 
 def select_topk_threshold(
-    flat: jax.Array, k: int, score_thresh: float, sort: bool = True
+    flat: jax.Array, k: int, score_thresh: float, sort: bool = True, w: int = 128
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k selection of scores > score_thresh, without a large sort.
 
@@ -233,7 +233,10 @@ def select_topk_threshold(
     """
     n = flat.shape[0]
     k = min(k, n)
-    w = 128
+    # w: stream-compaction chunk width.  128 suits ~300k domains; larger (512/
+    # 1024) shrinks the per-slot chunk lookup (k x 2n/w compare-reduce) for
+    # multi-million-entry domains at the cost of wider (cheap, latency-bound
+    # anyway) row gathers and a wider in-lane rank extraction.
     pad = (-n) % w
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
@@ -447,10 +450,9 @@ def _single_image_nms_from_logits(
     eager path pays (reference decodes everything up front,
     box_head.py:328-348) never happens.
 
-    (A single-stage full-domain variant — one bisect-select over all 2M
-    (anchor, class) bf16 pairs, no anchor pre-screen — was measured and
-    REJECTED: the full-domain count passes + chunk lookup cost more than the
-    two-stage gathers they replace; see docs/PERF.md.)
+    (See also ``_single_image_nms_single_stage`` — the full-domain variant
+    that became the fast TPU path once the bisect counting passes fused;
+    this two-stage path remains the CPU / lax.top_k reference.)
     """
     na = logits.shape[0]
     k = min(pre_nms_topk, na * num_classes)
@@ -469,9 +471,12 @@ def _single_image_nms_from_logits(
     # stage 1 on model-dtype scores (selection only; exact scores recomputed
     # in f32 on the selected subset below).  Order of the selected anchors is
     # irrelevant (stage 2 re-sorts pairs), so the bisect path skips its sort.
+    # Max over RAW class logits first: sigmoid is monotone, so
+    # max_c sig(obj)*sig(cls_c) == sig(obj)*sig(max_c cls_c) — one
+    # transcendental per anchor instead of nc (the full-domain sigmoid was
+    # ~5 ms of the stage at batch 128).
     obj = jax.nn.sigmoid(logits[:, 4])
-    cls = jax.nn.sigmoid(logits[:, 5:])
-    per_anchor = jnp.max(cls, axis=-1) * obj
+    per_anchor = jax.nn.sigmoid(jnp.max(logits[:, 5:], axis=-1)) * obj
     s1_vals, anchor_sel = select_topk(per_anchor.astype(jnp.float32), k1, sort=False)
 
     sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, 5+nc)
@@ -530,6 +535,88 @@ def _single_image_nms_from_logits(
     return Detections(out_boxes, out_scores, out_labels, out_valid, num)
 
 
+def _single_image_nms_single_stage(
+    logits: jax.Array,
+    grid: jax.Array,
+    shift: jax.Array,
+    stride: jax.Array,
+    *,
+    num_classes: int,
+    score_thresh: float,
+    nms_thresh: float,
+    detections_per_img: int,
+    pre_nms_topk: int,
+    nms_tile_size: int,
+    nms_impl: str,
+) -> Detections:
+    """Single-stage full-domain lazy-decode postprocess for ONE image.
+
+    ONE bisect-select over all (Na*nc) bf16 scores replaces the two-stage
+    anchor-screen + pair-select, cutting the number of latency-bound k-row
+    gathers from four to two.  Measured on v5e at batch 128 it LOSES to the
+    two-stage path anyway (119 vs 70 ms eval config): the full-domain
+    bisect counting (17 ms over 2M bf16 entries) and the slot->chunk
+    lookup/extract (which scale with domain/chunk width) outgrow the two
+    gathers removed.  Kept as a tested option (docs/PERF.md "Negative
+    results") — its cost model favors small pre_nms_topk over very large
+    anchor domains.
+
+    Selection runs on bf16 keys (threshold rounded one ulp down =>
+    over-selects); the kept candidates are re-scored in exact f32 from the
+    gathered logits rows and re-sorted, so final detections match the
+    reference's f32 semantics whenever the above-threshold count fits in
+    pre_nms_topk (reference keeps ALL survivors, box_head.py:388-410; the
+    k-cap is this fixed-shape design's only approximation, as before).
+    """
+    na = logits.shape[0]
+    nc = num_classes
+    k = min(pre_nms_topk, na * nc)
+
+    lg16 = logits.astype(jnp.bfloat16)
+    obj = jax.nn.sigmoid(lg16[:, 4:5])
+    scores = (jax.nn.sigmoid(lg16[:, 5:]) * obj).reshape(-1)  # (Na*nc,) bf16
+    v_sel, idx = select_topk_threshold(scores, k, score_thresh, sort=False, w=1024)
+
+    anchor = idx // nc
+    label = (idx % nc).astype(jnp.int32)
+    sel_ok = v_sel >= 0.0  # empty slots are -1 (repeated idx-0 must not fabricate)
+
+    rows = logits[anchor].astype(jnp.float32)  # (k, 5+nc) — THE row gather
+    sig = jax.nn.sigmoid(rows)
+    cls_onehot = label[:, None] == jnp.arange(nc, dtype=jnp.int32)[None, :]
+    score = sig[:, 4] * jnp.sum(jnp.where(cls_onehot, sig[:, 5:], 0.0), axis=1)
+    valid = sel_ok & (score > score_thresh)  # exact f32 threshold re-applied
+    score = jnp.where(valid, score, -1.0)
+
+    # exact-f32 descending order (NMS consumes score-ordered candidates);
+    # one multi-operand sort — payload gathers after a sort would cost
+    # another latency-bound k-row gather
+    neg, anchor, label, sx, sy, sw, sh, ok8 = jax.lax.sort(
+        (-score, anchor, label, sig[:, 0], sig[:, 1], sig[:, 2], sig[:, 3],
+         valid.astype(jnp.int32)),
+        dimension=0, num_keys=1,
+    )
+    score = -neg
+    valid = ok8 > 0
+
+    g = grid[anchor]
+    s = shift[anchor]
+    st = stride[anchor][:, None]
+    xy = (jnp.stack([sx, sy], axis=-1) * 2.0 - 0.5 + g) * st
+    wh = (jnp.stack([sw, sh], axis=-1) * 2.0) ** 2 * s
+    cand_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k, 4)
+
+    max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
+    offset_boxes = cand_boxes + (label.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
+                         impl=nms_impl, stop_after=detections_per_img)
+
+    out_boxes, out_scores, out_labels, out_valid, num = _compact_detections(
+        keep, cand_boxes, score, label, detections_per_img
+    )
+    return Detections(out_boxes, out_scores, out_labels, out_valid, num)
+
+
 def batched_postprocess_from_heads(
     head_outputs,
     strides,
@@ -545,8 +632,18 @@ def batched_postprocess_from_heads(
     nms_impl: str = "auto",
     topk_impl: str = "auto",
     classes_per_anchor: Optional[int] = None,
+    selection: str = "auto",
 ) -> Detections:
-    """Lazy-decode batched postprocess from raw per-level head logits."""
+    """Lazy-decode batched postprocess from raw per-level head logits.
+
+    selection: 'two_stage' (default/auto) = anchor-screen then pair-select;
+    'single' = full-domain single-stage select
+    (`_single_image_nms_single_stage`) — measured SLOWER on v5e at batch
+    128 (119 vs 70 ms eval config, 46 vs 14 ms serving: the full-domain
+    bisect counting + slot->chunk lookup outgrow the gathers they remove;
+    docs/PERF.md "Negative results"), kept as a tested option because its
+    cost model favors very small pre_nms_topk on very large anchor counts.
+    """
     from yolort_tpu.models.head import anchor_tables, flatten_heads
 
     num_anchors = len(anchor_grids[0]) // 2
@@ -558,6 +655,21 @@ def batched_postprocess_from_heads(
         # bisect-select on TPU: ~12x faster than the TopK emitter at k=4096
         # and immune to its batch-1 fused-shape aborts
         topk_impl = "bisect" if jax.default_backend() not in ("cpu",) else "topk"
+    if selection == "auto":
+        selection = "two_stage"
+
+    if selection == "single":
+        fn1 = partial(
+            _single_image_nms_single_stage,
+            num_classes=num_classes,
+            score_thresh=score_thresh,
+            nms_thresh=nms_thresh,
+            detections_per_img=detections_per_img,
+            pre_nms_topk=pre_nms_topk,
+            nms_tile_size=nms_tile_size,
+            nms_impl=nms_impl,
+        )
+        return jax.vmap(fn1, in_axes=(0, None, None, None))(logits, grid, shift, stride)
 
     fn = partial(
         _single_image_nms_from_logits,
