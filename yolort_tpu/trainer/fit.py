@@ -23,12 +23,26 @@ from yolort_tpu.trainer.utils import EarlyStopping, ModelEMA
 from yolort_tpu.utils.logger import MetricLogger
 
 
-def evaluate(model, params, data_module, canvas_hw) -> Dict[str, float]:
-    """COCO-protocol evaluation over a DetectionDataModule."""
-    infer = jax.jit(lambda p, x: model(p, x))
+def evaluate(model, params, data_module, canvas_hw, mesh=None) -> Dict[str, float]:
+    """COCO-protocol evaluation over a DetectionDataModule.
+
+    mesh: optional jax.sharding.Mesh — batches are sharded over its 'data'
+    axis and run multi-chip (the inference the reference explicitly does
+    not support, tools/eval_metric.py:109); params are replicated.
+    """
+    if mesh is not None:
+        from yolort_tpu.parallel.mesh import data_parallel_infer, replicate, shard_batch
+
+        infer = data_parallel_infer(model, mesh)
+        params = replicate(mesh, params)
+    else:
+        infer = jax.jit(lambda p, x: model(p, x))
     ev = COCOEvaluator()
     for batch in data_module.batches():
-        det = jax.device_get(infer(params, jnp.asarray(batch["images"])))
+        images = jnp.asarray(batch["images"])
+        if mesh is not None:
+            images = shard_batch(mesh, images)
+        det = jax.device_get(infer(params, images))
         preds, tgts = [], []
         for j, raw in enumerate(batch["raw_targets"]):
             n = int(det.num[j])
@@ -60,10 +74,23 @@ def fit(
     checkpoint_path: Optional[str] = None,
     print_freq: int = 50,
     state: Optional[TrainState] = None,
+    mesh=None,
 ) -> TrainState:
-    """Train; returns the final TrainState (EMA params in state if enabled)."""
-    step_fn = make_train_step(task)
+    """Train; returns the final TrainState (EMA params in state if enabled).
+
+    mesh: optional jax.sharding.Mesh — the train step runs data-parallel
+    over its 'data' axis (params/opt-state replicated, XLA inserts the
+    gradient all-reduce over ICI) and validation shards the same way.
+    """
+    if mesh is not None:
+        from yolort_tpu.parallel.mesh import data_parallel_train_step, replicate
+
+        step_fn = data_parallel_train_step(task, mesh)
+    else:
+        step_fn = make_train_step(task)
     state = state or task.init_state(jax.random.PRNGKey(seed))
+    if mesh is not None:
+        state = replicate(mesh, state)
     # seed the EMA with the pre-training params, like the reference's
     # deepcopy-at-construction (v5/utils/torch_utils.py:345) — the first
     # update must BLEND toward step-1 params, not copy them
@@ -75,12 +102,16 @@ def fit(
         for batch in logger.log_every(
             train_data.batches(), print_freq, header=f"Epoch {epoch}:"
         ):
-            state, metrics = step_fn(
-                state,
+            bi, bt, bm = (
                 jnp.asarray(batch["images"]),
                 jnp.asarray(batch["targets"]),
                 jnp.asarray(batch["target_mask"]),
             )
+            if mesh is not None:
+                from yolort_tpu.parallel.mesh import shard_batch
+
+                bi, bt, bm = shard_batch(mesh, bi), shard_batch(mesh, bt), shard_batch(mesh, bm)
+            state, metrics = step_fn(state, bi, bt, bm)
             logger.update(**{k: float(v) for k, v in metrics.items()})
             # per-step EMA with the decay ramp, matching the reference
             # ModelEMA semantics (v5/utils/torch_utils.py:339-377: update on
@@ -90,7 +121,8 @@ def fit(
 
         if val_data is not None:
             eval_params = ema.params if ema is not None else state.params
-            results = evaluate(task.model, eval_params, val_data, val_data.canvas_hw)
+            results = evaluate(task.model, eval_params, val_data, val_data.canvas_hw,
+                               mesh=mesh)
             print(f"Epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
             fitness = 0.1 * results.get("AP50", 0.0) + 0.9 * results.get("AP", 0.0)
             if stopper is not None and stopper(epoch, fitness):
