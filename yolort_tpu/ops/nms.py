@@ -273,14 +273,39 @@ def select_topk_threshold(
     total = off[-1] + cnt[-1]
 
     s_iota = jnp.arange(k, dtype=jnp.int32)
-    # chunk containing output slot s: #\{chunks with offset <= s\} - 1.
-    # (A vectorized binary search — log2(m) rounds of k element-gathers —
-    # was measured 3x SLOWER than this compare-reduce at batch 128: random
-    # element gathers are latency-bound on TPU, while the (k, m) compare
-    # streams on the VPU.)
-    c_of_s = jnp.sum((off[None, :] <= s_iota[:, None]).astype(jnp.int32), axis=1) - 1
-    c_of_s = jnp.clip(c_of_s, 0, 2 * nc_chunks - 1)
-    p = s_iota - off[c_of_s]  # within-chunk rank
+    # chunk containing output slot s: the last chunk whose offset <= s.
+    m = off.shape[0]
+    if m * k >= 1 << 22:
+        # merge-by-sort, O((m+k)log(m+k)): ONE stable sort merges the chunk
+        # offsets with the slot ids (chunk entries tie-break BEFORE slots at
+        # equal value via the 2x+flag key), a running cummax of started-chunk
+        # ids answers every slot, and a second small sort compacts the slot
+        # answers back into s order.  At k=4096, m=5126, batch 128 this
+        # replaces a 21M-compare/image reduce (~3 ms) with two ~9k sorts.
+        # (A log2(m)-round vectorized binary search was also tried: 3x
+        # SLOWER than even the compare-reduce — random element gathers are
+        # latency-bound on TPU.)
+        keys = jnp.concatenate([off * 2, s_iota * 2 + 1])
+        cid = jnp.concatenate(
+            [jnp.arange(m, dtype=jnp.int32), jnp.full((k,), -1, jnp.int32)]
+        )
+        offv = jnp.concatenate([off, jnp.zeros((k,), off.dtype)])
+        skeys, scid, soff = jax.lax.sort((keys, cid, offv), dimension=0, num_keys=1)
+        started = scid >= 0
+        cmax = jax.lax.cummax(jnp.where(started, scid, -1))
+        omax = jax.lax.cummax(jnp.where(started, soff, 0))
+        # slots keep their relative (ascending) key order; chunks pushed last
+        slot_rank = jnp.where(scid < 0, skeys, jnp.int32(2**30))
+        _, c_all, o_all = jax.lax.sort(
+            (slot_rank, cmax, omax), dimension=0, num_keys=1
+        )
+        c_of_s = jnp.clip(c_all[:k], 0, 2 * nc_chunks - 1)
+        p = s_iota - o_all[:k]  # within-chunk rank
+    else:
+        # (k, m) compare-reduce: streams on the VPU, best for small domains
+        c_of_s = jnp.sum((off[None, :] <= s_iota[:, None]).astype(jnp.int32), axis=1) - 1
+        c_of_s = jnp.clip(c_of_s, 0, 2 * nc_chunks - 1)
+        p = s_iota - off[c_of_s]  # within-chunk rank
     phys = c_of_s % nc_chunks
     is_eq_tier = c_of_s >= nc_chunks
 
@@ -296,7 +321,19 @@ def select_topk_threshold(
     rows_m = rows_valid & jnp.where(
         is_eq_tier[:, None], rows_b == t, rows_b >= t + 1
     )
-    rank_lane = jnp.cumsum(rows_m.astype(jnp.int32), axis=1) - 1
+    # in-lane rank via cumsum-as-matmul: (k, w) 0/1 mask against an upper-
+    # triangular 0/1 matrix on the MXU, f32-accumulated (products are 0/1
+    # and row sums <= w, so this is exact).  ~2x cheaper than the log-round
+    # lane cumsum the VPU would run at k=4096.
+    tri = (
+        jnp.arange(w, dtype=jnp.int32)[:, None] <= jnp.arange(w, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    incl = jax.lax.dot_general(
+        rows_m.astype(jnp.bfloat16), tri,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rank_lane = incl.astype(jnp.int32) - 1
     hit = rows_m & (rank_lane == p[:, None])
     vals = jnp.sum(jnp.where(hit, rows_v, 0.0), axis=1)
     lane = jnp.sum(jnp.where(hit, jnp.arange(w, dtype=jnp.int32)[None, :], 0), axis=1)
