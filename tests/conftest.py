@@ -17,5 +17,15 @@ if os.environ.get("YOLORT_TPU_TESTS") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: cuts individual XLA compiles ~60% (5.9 ->
+    # 2.2 s measured) but the suite is trace-bound, so the wall-clock win on
+    # warm reruns is small; kept because it is free and helps the heaviest
+    # compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("YOLORT_JAX_CACHE", "/tmp/yolort_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # YOLORT_TPU_TESTS=1 leaves the session backend (e.g. the axon TPU) active
 # so the TPU-only tests (test_pallas_tpu.py) actually run on hardware.
