@@ -45,6 +45,28 @@ def test_fit_on_mesh_with_sharded_eval(tiny_coco):
         assert bool(np.isfinite(np.asarray(leaf)).all())
 
 
+def test_evaluate_mesh_partial_batch(tmp_path):
+    """drop_last=False leaves a final batch not divisible by the data-axis
+    size; mesh evaluate() must pad it instead of crashing in shard_batch
+    (round-2 advisor finding: 8-image/8-device tests exactly divided and
+    hid this)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(jax.devices()[:8])
+    img_dir, ann = create_synthetic_coco(tmp_path, num_images=11, num_classes=3,
+                                         seed=1, image_hw=(96, 96))
+    dm = DetectionDataModule(COCODetection(str(img_dir), str(ann)), batch_size=8,
+                             canvas_hw=(96, 96), min_size=96, max_size=96)
+    model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=3, score_thresh=1e-4,
+                       pre_nms_topk=256, nms_tile_size=64)
+    params = model.init(jax.random.PRNGKey(0))
+    single = evaluate(model, params, dm, dm.canvas_hw)
+    sharded = evaluate(model, params, dm, dm.canvas_hw, mesh=mesh)  # 11 % 8 != 0
+    for k in single:
+        np.testing.assert_allclose(single[k], sharded[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+
+
 @pytest.mark.slow
 def test_evaluate_mesh_matches_single(tiny_coco):
     if len(jax.devices()) < 8:

@@ -136,7 +136,7 @@ def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1, preferred_element_type=N
 # Analogue of the reference's ppq INT8 deployment flow (deployment/ppq),
 # where calibrated TensorRT engines compute in int8.
 
-_CALIBRATION: Optional[list] = None  # set by quantization.calibrate(); eager-mode only
+_CALIBRATION: bool = False  # set by quantization.calibrate_activations(); eager-mode only
 
 
 class QTensor(NamedTuple):
@@ -189,12 +189,15 @@ def _qconcat(parts, axis=-1):
     return jnp.concatenate([_as_float(p) for p in parts], axis=axis)
 
 
-def _qadd(a, b):
-    """Residual add.  Both QTensor: int8-domain add under the safe upper
-    bound scale sa+sb (never clips beyond rounding); else float add."""
+def _qadd(a, b, out_scale=None):
+    """Residual add.  Both QTensor: int8-domain add requantized to the
+    calibrated post-add scale ``out_scale`` when one exists (keeps resolution
+    flat through deep residual chains), else to the safe upper bound sa+sb
+    (never clips beyond rounding, but loses ~1 bit per chained hop); float
+    add otherwise."""
     if isinstance(a, QTensor) and isinstance(b, QTensor):
         ft = a.ref.dtype
-        s = a.s + b.s
+        s = (a.s + b.s) if out_scale is None else out_scale
         y = a.q.astype(ft) * (a.s / s).astype(ft) + b.q.astype(ft) * (b.s / s).astype(ft)
         return QTensor(jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8), s, a.ref)
     return _as_float(a) + _as_float(b)
@@ -229,9 +232,15 @@ def _conv_int8(p: Params, x, *, stride, padding, groups):
 
 def _observe_calibration(p: Params, x, key: str = "_absmax") -> None:
     """Eager-mode activation-range capture: record the abs-max of this conv's
-    input (or output, key='_out_absmax') directly into its params dict
-    (mutation is safe — calibration runs outside jit), accumulating the max
-    across batches."""
+    input (or output, key='_out_absmax'; residual-add output,
+    key='_add_absmax') directly into its params dict (mutation is safe —
+    calibration runs outside jit), accumulating the max across batches."""
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "activation calibration observed a tracer: calibrate_activations "
+            "must run the model eagerly (do not jit apply_fn during "
+            "calibration — range capture mutates the params dict)"
+        )
     amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
     p[key] = max(float(p.get(key, 0.0)), amax)
 
@@ -270,7 +279,7 @@ class Conv:
             )
             return _requantize(y, p["os"]) if "os" in p else y
         x = _as_float(x)
-        if _CALIBRATION is not None:
+        if _CALIBRATION:
             _observe_calibration(p, x)
         y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
         if "b" in p:
@@ -280,7 +289,7 @@ class Conv:
             bias = p["beta"] - p["mean"] * scale
             y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
         y = _ACTS[self.act](y)
-        if _CALIBRATION is not None:
+        if _CALIBRATION:
             _observe_calibration(p, y, "_out_absmax")
         return y
 
@@ -313,7 +322,7 @@ class Conv2dOnly:
             y = _conv_int8(p, x, stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
             return _requantize(y, p["os"]) if "os" in p else y
         x = _as_float(x)
-        if _CALIBRATION is not None:
+        if _CALIBRATION:
             _observe_calibration(p, x)
         y = conv2d_nhwc(x, p["w"], stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
         if "b" in p:
@@ -369,7 +378,15 @@ class Bottleneck:
 
     def __call__(self, p: Params, x):
         y = self.cv2(p["cv2"], self.cv1(p["cv1"], x))
-        return _qadd(x, y) if (self.shortcut and self.c1 == self.c2) else y
+        if not (self.shortcut and self.c1 == self.c2):
+            return y
+        out = _qadd(x, y, p.get("as"))
+        if _CALIBRATION and not isinstance(out, QTensor):
+            # post-add range: quantize_compute_params turns it into the 'as'
+            # scale so chained residual adds requantize to a calibrated scale
+            # instead of the resolution-losing sa+sb upper bound
+            _observe_calibration(p, out, "_add_absmax")
+        return out
 
 
 @dataclass(frozen=True)

@@ -112,7 +112,7 @@ def calibrate_activations(apply_fn, params: Dict, batches) -> Dict:
          if np.asarray(l).dtype.kind == "f" or str(np.asarray(l).dtype) == "bfloat16"),
         np.float32,
     )
-    blocks._CALIBRATION = []
+    blocks._CALIBRATION = True
     try:
         with jax.default_device(cpu):
             for batch in batches:
@@ -121,7 +121,7 @@ def calibrate_activations(apply_fn, params: Dict, batches) -> Dict:
                     b = b.astype(wdt)
                 apply_fn(params, b)
     finally:
-        blocks._CALIBRATION = None
+        blocks._CALIBRATION = False
     return params
 
 
@@ -191,7 +191,17 @@ def quantize_compute_params(
             if b is not None:
                 out["b"] = jnp.asarray(b, jnp.float32)
             return out
-        return {k: walk(v, path + (k,)) for k, v in node.items()}
+        out = {}
+        for k, v in node.items():
+            if k == "_add_absmax":
+                # calibrated post-residual-add range -> the 'as' scale that
+                # blocks._qadd requantizes the int8 sum to (instead of the
+                # resolution-losing sa+sb upper bound)
+                if chain and float(v) > 0.0:
+                    out["as"] = jnp.asarray(float(v) / 127.0, jnp.float32)
+            else:
+                out[k] = walk(v, path + (k,))
+        return out
 
     return walk(params, ())
 
@@ -202,7 +212,7 @@ def strip_calibration(params: Dict) -> Dict:
 
     def walk(node):
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items() if k not in ("_absmax", "_out_absmax")}
+            return {k: walk(v) for k, v in node.items() if k not in ("_absmax", "_out_absmax", "_add_absmax")}
         return node
 
     return walk(params)

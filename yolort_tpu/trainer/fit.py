@@ -41,6 +41,14 @@ def evaluate(model, params, data_module, canvas_hw, mesh=None) -> Dict[str, floa
     for batch in data_module.batches():
         images = jnp.asarray(batch["images"])
         if mesh is not None:
+            # the final batch of an epoch can be partial (drop_last=False);
+            # pad it up to a multiple of the data-axis size so the NamedSharding
+            # placement is valid — padded rows are never read (the result loop
+            # below only walks the real batch["raw_targets"])
+            d = mesh.shape["data"]
+            pad = (-images.shape[0]) % d
+            if pad:
+                images = jnp.concatenate([images, jnp.repeat(images[:1], pad, axis=0)], axis=0)
             images = shard_batch(mesh, images)
         det = jax.device_get(infer(params, images))
         preds, tgts = [], []
@@ -110,6 +118,10 @@ def fit(
             if mesh is not None:
                 from yolort_tpu.parallel.mesh import shard_batch
 
+                # partial final batch: gradients from padded rows would bias
+                # the loss, so mesh training drops it (DDP-style drop_last)
+                if bi.shape[0] % mesh.shape["data"]:
+                    continue
                 bi, bt, bm = shard_batch(mesh, bi), shard_batch(mesh, bt), shard_batch(mesh, bm)
             state, metrics = step_fn(state, bi, bt, bm)
             logger.update(**{k: float(v) for k, v in metrics.items()})
