@@ -47,3 +47,30 @@ def test_pallas_all_invalid():
     valid[:] = False
     got = np.asarray(pallas_nms_mask(jnp.asarray(boxes), jnp.asarray(valid), 0.45))
     assert not got.any()
+
+
+@pytest.mark.parametrize(
+    "k,n,h,w,c,co",
+    [(1, 2, 20, 20, 64, 128), (3, 2, 20, 20, 64, 128), (3, 2, 80, 80, 64, 64),
+     (3, 2, 160, 160, 32, 32)],
+)
+def test_qconv_compiled_bit_exact(k, n, h, w, c, co):
+    """Fused-epilogue int8 conv, compiled on hardware, vs the XLA int8 path:
+    integer accumulation must be bit-exact (both s8xs8->s32 exact), epilogue
+    f32 on both sides here."""
+    from yolort_tpu.ops.blocks import conv2d_nhwc
+    from yolort_tpu.ops.pallas import qconv as Q
+
+    rng = np.random.default_rng(k * 10 + h)
+    xq = jnp.asarray(rng.integers(-127, 128, (n, h, w, c), dtype=np.int8))
+    wq = jnp.asarray(rng.integers(-10, 11, (k, k, c, co), dtype=np.int8))
+    scale = jnp.asarray(rng.uniform(1e-4, 1e-3, (co,)).astype(np.float32))
+    bias = jnp.asarray(rng.uniform(-1, 1, (co,)).astype(np.float32))
+    ios = jnp.float32(6.0)
+    out = Q.qconv(xq, wq, scale, bias, k=k, act="silu", inv_out_scale=ios)
+    acc = conv2d_nhwc(xq, wq, stride=1, padding=k // 2,
+                      preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale + bias
+    y = y * jax.nn.sigmoid(y)
+    ref = jnp.clip(jnp.round(y * ios), -127.0, 127.0).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

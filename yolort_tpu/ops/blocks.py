@@ -230,6 +230,33 @@ def _conv_int8(p: Params, x, *, stride, padding, groups):
     return y
 
 
+def _conv_int8_fused(p: Params, x, *, k, stride, padding, groups, act):
+    """Pallas fused-epilogue int8 conv (s32 accumulator stays in VMEM, int8
+    activation written directly — no s32 HBM round-trip).  Returns the
+    finished QTensor/float output, or None when this conv's shape isn't
+    kernel-supported (caller falls back to the XLA path)."""
+    if groups != 1 or stride != 1 or k not in (1, 3) or padding != k // 2:
+        return None
+    from yolort_tpu.ops.pallas import qconv as _qk
+
+    if not _qk.available():
+        return None
+    if isinstance(x, QTensor):
+        xq, in_s, ft = x.q, x.s, x.ref.dtype
+    else:
+        xq, in_s, ft = _quantize_input(x, 1.0 / p["xs"]), p["xs"], x.dtype
+    os = p.get("os")
+    y = _qk.qconv(
+        xq, p["wq"], in_s * p["ws"], p.get("b"), k=k, act=act,
+        inv_out_scale=(1.0 / os if os is not None else None), out_dtype=ft,
+    )
+    if y is None:  # shape outside the kernel's VMEM budget
+        return None
+    if os is not None:
+        return QTensor(y, os, jnp.zeros((0,), ft))
+    return y
+
+
 def _observe_calibration(p: Params, x, key: str = "_absmax") -> None:
     """Eager-mode activation-range capture: record the abs-max of this conv's
     input (or output, key='_out_absmax'; residual-add output,
@@ -274,6 +301,12 @@ class Conv:
 
     def __call__(self, p: Params, x):
         if "wq" in p:
+            fused = _conv_int8_fused(
+                p, x, k=self.k, stride=self.s, padding=autopad(self.k, self.p),
+                groups=self.g, act=self.act,
+            )
+            if fused is not None:
+                return fused
             y = _ACTS[self.act](
                 _conv_int8(p, x, stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
             )
@@ -319,6 +352,12 @@ class Conv2dOnly:
 
     def __call__(self, p: Params, x):
         if "wq" in p:
+            fused = _conv_int8_fused(
+                p, x, k=self.k, stride=self.s, padding=autopad(self.k, self.p),
+                groups=self.g, act="none",
+            )
+            if fused is not None:
+                return fused
             y = _conv_int8(p, x, stride=self.s, padding=autopad(self.k, self.p), groups=self.g)
             return _requantize(y, p["os"]) if "os" in p else y
         x = _as_float(x)
