@@ -787,9 +787,16 @@ def _unspoof():
         sys.modules.pop(name, None)
 
 
-def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False, version="r6.0"):
+def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False, version="r6.0",
+                    head_cls_bias_noise=0.0):
     """Fabricate an ultralytics-layout checkpoint; returns the float oracle
-    model (same fp16 round-trip as the saved weights when half=True)."""
+    model (same fp16 round-trip as the saved weights when half=True).
+
+    head_cls_bias_noise > 0 adds per-class gaussian noise to the Detect head
+    class biases: random deep conv stacks otherwise produce an
+    input-independent, single-class score landscape (every detection the
+    same class within 5e-4 score), which is useless for harness selftests
+    that need class-diverse detections (tools/regression.py --selftest)."""
     torch.manual_seed(seed)
     if p6:
         cls = FModelP6
@@ -803,6 +810,14 @@ def make_checkpoint(path, nc=7, dm=0.33, wm=0.25, seed=0, half=True, p6=False, v
         cls = FModel
     model = cls(nc=nc, dm=dm, wm=wm)
     randomize_bn_stats(model, seed)
+    if head_cls_bias_noise:
+        g = torch.Generator().manual_seed(seed + 12345)
+        with torch.no_grad():
+            for mod in model.modules():
+                if isinstance(mod, FDetect):
+                    for conv in mod.m:
+                        b = conv.bias.view(mod.na, mod.no)
+                        b[:, 5:] += torch.randn(mod.na, mod.nc, generator=g) * head_cls_bias_noise
     model.eval()
     _spoof_ultralytics_modules()
     try:
