@@ -58,7 +58,7 @@ int main(int argc, char** argv) {
   if (argc < 3) {
     fprintf(stderr,
             "usage: %s <pjrt_plugin.so> <program.mlirbc> [batch=1 h=640 "
-            "w=640 iters=10]\n",
+            "w=640 iters=10 input.bin dump_prefix]\n",
             argv[0]);
     return 2;
   }
@@ -68,6 +68,8 @@ int main(int argc, char** argv) {
   const int64_t height = argc > 4 ? atoll(argv[4]) : 640;
   const int64_t width = argc > 5 ? atoll(argv[5]) : 640;
   const int iters = argc > 6 ? atoi(argv[6]) : 10;
+  const char* input_path = argc > 7 ? argv[7] : nullptr;   // raw uint8 NHWC
+  const char* dump_prefix = argc > 8 ? argv[8] : nullptr;  // raw output dumps
 
   // --- load plugin ---------------------------------------------------------
   void* handle = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
@@ -198,6 +200,16 @@ int main(int argc, char** argv) {
 
   // --- stage input buffer (uint8 NHWC frames) ------------------------------
   std::vector<uint8_t> host_input(batch * height * width * 3, 114);
+  if (input_path != nullptr) {
+    std::string raw = read_file(input_path);
+    if (raw.size() != host_input.size()) {
+      fprintf(stderr, "input %s is %zu bytes, expected %zu\n", input_path,
+              raw.size(), host_input.size());
+      return 1;
+    }
+    memcpy(host_input.data(), raw.data(), raw.size());
+    printf("input: %s\n", input_path);
+  }
   const int64_t dims[4] = {batch, height, width, 3};
 
   PJRT_Buffer* input = nullptr;
@@ -298,27 +310,60 @@ int main(int argc, char** argv) {
            per_iter * 1000.0, batch / per_iter);
   }
 
-  // --- fetch detection counts ----------------------------------------------
-  if (output_storage[3] != nullptr) {
-    std::vector<int32_t> num_dets(batch, -1);
+  // --- fetch outputs --------------------------------------------------------
+  auto fetch = [&](PJRT_Buffer* buf, void* dst, size_t bytes) -> int {
     PJRT_Buffer_ToHostBuffer_Args args;
     memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    args.src = output_storage[3];
-    args.dst = num_dets.data();
-    args.dst_size = num_dets.size() * sizeof(int32_t);
-    if (!check_error(g_api->PJRT_Buffer_ToHostBuffer(&args), "ToHostBuffer")) {
-      if (args.event) {
-        PJRT_Event_Await_Args eargs;
-        memset(&eargs, 0, sizeof(eargs));
-        eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
-        eargs.event = args.event;
-        check_error(g_api->PJRT_Event_Await(&eargs), "Event_Await(d2h)");
-      }
-      printf("detections per image:");
-      for (int64_t i = 0; i < batch; ++i) printf(" %d", num_dets[i]);
-      printf("\n");
+    args.src = buf;
+    args.dst = dst;
+    args.dst_size = bytes;
+    if (check_error(g_api->PJRT_Buffer_ToHostBuffer(&args), "ToHostBuffer"))
+      return 1;
+    if (args.event) {
+      PJRT_Event_Await_Args eargs;
+      memset(&eargs, 0, sizeof(eargs));
+      eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      eargs.event = args.event;
+      if (check_error(g_api->PJRT_Event_Await(&eargs), "Event_Await(d2h)"))
+        return 1;
+      PJRT_Event_Destroy_Args dargs;
+      memset(&dargs, 0, sizeof(dargs));
+      dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      dargs.event = args.event;
+      g_api->PJRT_Event_Destroy(&dargs);
     }
+    return 0;
+  };
+
+  std::vector<int32_t> num_dets(batch, -1);
+  if (output_storage[3] != nullptr &&
+      fetch(output_storage[3], num_dets.data(), num_dets.size() * sizeof(int32_t)) == 0) {
+    printf("detections per image:");
+    for (int64_t i = 0; i < batch; ++i) printf(" %d", num_dets[i]);
+    printf("\n");
+  }
+
+  // full-output dump for the numerical-parity gate (smoke.sh step 4: the
+  // reference's deployed-backend contract compares boxes/scores/labels at
+  // 1e-3/1e-5, test/test_runtime_ort.py:44-59)
+  if (dump_prefix != nullptr) {
+    const int64_t kMaxDet = 300;
+    std::vector<float> boxes(batch * kMaxDet * 4), scores(batch * kMaxDet);
+    std::vector<int32_t> labels(batch * kMaxDet);
+    auto dump = [&](const char* suffix, const void* data, size_t bytes) {
+      std::string p = std::string(dump_prefix) + suffix;
+      std::ofstream f(p, std::ios::binary);
+      f.write(reinterpret_cast<const char*>(data), bytes);
+      printf("dumped %s (%zu bytes)\n", p.c_str(), bytes);
+    };
+    if (fetch(output_storage[0], boxes.data(), boxes.size() * sizeof(float)) == 0)
+      dump(".boxes.f32", boxes.data(), boxes.size() * sizeof(float));
+    if (fetch(output_storage[1], scores.data(), scores.size() * sizeof(float)) == 0)
+      dump(".scores.f32", scores.data(), scores.size() * sizeof(float));
+    if (fetch(output_storage[2], labels.data(), labels.size() * sizeof(int32_t)) == 0)
+      dump(".labels.i32", labels.data(), labels.size() * sizeof(int32_t));
+    dump(".num.i32", num_dets.data(), num_dets.size() * sizeof(int32_t));
   }
 
   printf("ok\n");

@@ -16,8 +16,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_pjrt_driver_smoke():
-    """export -> build -> compile -> execute -> detection readback."""
+def test_pjrt_driver_smoke_and_parity():
+    """export fixture ckpt -> build -> compile -> execute -> readback ->
+    boxes/scores/labels parity vs the Python run of the same program
+    (reference contract: test_runtime_ort.py:44-59 at 1e-3/1e-5)."""
     proc = subprocess.run(
         ["bash", str(REPO / "deployment" / "pjrt" / "smoke.sh")],
         capture_output=True, text=True, timeout=580,
@@ -25,4 +27,5 @@ def test_pjrt_driver_smoke():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "detections per image:" in proc.stdout
+    assert "PARITY OK" in proc.stdout
     assert "SMOKE OK" in proc.stdout

@@ -34,6 +34,10 @@ def cli_main():
     ap.add_argument("--augment", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", default=None)
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard the batch over all visible devices "
+                         "(jax.sharding mesh; XLA inserts the gradient "
+                         "all-reduce over ICI)")
     args = ap.parse_args()
 
     if args.device:
@@ -75,6 +79,15 @@ def cli_main():
         state, meta = load_train_state(args.resume, task)
         print(f"resumed from {args.resume} (step {int(state.step)}, meta {meta})")
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from yolort_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        print(f"data-parallel over {len(jax.devices())} devices")
+
     fit(
         task,
         train_dm,
@@ -85,6 +98,7 @@ def cli_main():
         patience=args.patience,
         checkpoint_path=args.output_path,
         state=state,
+        mesh=mesh,
     )
     print(f"saved: {args.output_path}")
 
