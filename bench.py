@@ -115,6 +115,80 @@ def run_config(model, params, raw, dtype, plan, iters, repeat):
     return raw.shape[0] * iters / elapsed
 
 
+def run_latency(model, params, raw, dtype, plan, calls=30):
+    """Per-invocation e2e latency percentiles (p50/p99, ms).
+
+    Through the axon relay every call pays a device->host fetch RTT; the
+    median trivial-fetch RTT is subtracted from every sample (RTT jitter
+    therefore still inflates p99 — treat p99 as an upper bound here; on a
+    directly-attached chip the same code reports true percentiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolort_tpu.models.transform import letterbox_batch
+
+    def one_pass(params, raw_u8):
+        imgs = raw_u8.astype(dtype) * (1.0 / 255.0)
+        canvas = letterbox_batch(imgs, plan)
+        det = model(params, canvas)
+        return jnp.sum(det.num)
+
+    fn = jax.jit(one_pass)
+    trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
+    int(fn(params, raw))
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        int(trivial(raw))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    samples = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        int(fn(params, raw))
+        samples.append(max(time.perf_counter() - t0 - rtt, 0.0))
+    samples.sort()
+    p50 = samples[len(samples) // 2] * 1000.0
+    p99 = samples[min(len(samples) - 1, int(len(samples) * 0.99))] * 1000.0
+    return round(p50, 3), round(p99, 3)
+
+
+def run_streaming(model, params, size, dtype, batch: int, n_batches: int = 8):
+    """Host-fed StreamingPipeline throughput (imgs/s): frames start in host
+    memory, H2D staging overlapped against device compute (one-deep software
+    pipeline, runtime/streaming.py).  Relay caveat: each batch drain is a
+    real device->host fetch, so the per-batch RTT is measured and reported
+    alongside (rtt_adjusted subtracts it — the on-host-serving estimate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolort_tpu.runtime.streaming import StreamingPipeline
+
+    pipe = StreamingPipeline(model, params, batch_size=batch,
+                             input_hw=(size, size), dtype=dtype)
+    pipe.warmup()
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+              for _ in range(batch * n_batches)]
+    trivial = jax.jit(lambda x: jnp.sum(x[0, 0, 0]))
+    dev = jnp.zeros((batch, size, size, 3), jnp.uint8)
+    int(trivial(dev))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(trivial(dev))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in pipe.run(iter(frames)))
+    elapsed = time.perf_counter() - t0
+    assert n_out == len(frames), (n_out, len(frames))
+    raw_rate = n_out / elapsed
+    adj_rate = n_out / max(elapsed - rtt * n_batches, 1e-9)
+    return round(raw_rate, 2), round(adj_rate, 2), round(rtt * 1000, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="yolov5_darknet_pan_s_r60")
@@ -134,6 +208,10 @@ def main():
     ap.add_argument("--skip-eval-config", action="store_true")
     ap.add_argument("--skip-int8", action="store_true",
                     help="skip the int8-compute serving config")
+    ap.add_argument("--skip-latency", action="store_true",
+                    help="skip the batch-1/8 latency percentiles")
+    ap.add_argument("--skip-streaming", action="store_true",
+                    help="skip the host-fed streaming throughput row")
     ap.add_argument("--stem-s2d", action="store_true",
                     help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
@@ -171,6 +249,17 @@ def main():
         model, params, raw, dtype, plan, target=args.candidates
     )
 
+    if not args.skip_latency:
+        # low-latency serving story (BASELINE.md row 3 "p50 end-to-end
+        # latency"; the batch-1 path exercises the small-batch selection
+        # configs under their intended conditions)
+        lat = {}
+        for lb in (1, 8):
+            lraw = raw[:lb]
+            p50, p99 = run_latency(model, params, lraw, dtype, plan)
+            lat[f"p50_ms_b{lb}"] = p50
+            lat[f"p99_ms_b{lb}"] = p99
+
     serving = run_config(model, params, raw, dtype, plan, args.iters, args.repeat)
     result = {
         "metric": f"imgs/sec/chip {args.arch}@{s} batch{args.batch} e2e(letterbox+NMS) {args.dtype}",
@@ -180,6 +269,13 @@ def main():
         "candidates_per_img@0.25": round(float(cand_count), 1),
         "obj_bias_shift": round(float(delta), 3),
     }
+    if not args.skip_latency:
+        result.update(lat)
+    if not args.skip_streaming:
+        sraw, sadj, srtt = run_streaming(model, params, s, dtype, batch=32)
+        result["streaming_imgs_per_sec"] = sraw
+        result["streaming_rtt_adjusted"] = sadj
+        result["streaming_relay_rtt_ms"] = srtt
 
     if not args.skip_eval_config:
         from dataclasses import replace

@@ -47,10 +47,25 @@ except Exception:  # pragma: no cover
 
 
 def available() -> bool:
+    """OFF by default — a measured negative result (round 3).
+
+    Hypothesis (from the round-2 model-level ceiling analysis): XLA's conv
+    custom-call cannot absorb the int8 epilogue, so every quantized conv
+    pays an s32 HBM round-trip that a fused Pallas conv would remove.
+    Measurement (v5e, batch 128, chained timing) falsified it per-conv: the
+    XLA int8 conv + its fused epilogue is already near traffic-optimal
+    (e.g. 3x3 80x80x64: XLA 0.34 ms vs 1.36 ms for this kernel; 1x1
+    20x20x512: 0.08 vs 0.29), and e2e the kernels took the int8 backbone
+    from 16.3 ms (XLA) to 51 ms.  The losses are Mosaic-level: pad/concat/
+    shift relayouts around the tap matmuls and per-grid-step overhead that
+    the hand-tuned XLA conv emitter simply doesn't pay.  Kept (bit-exact,
+    tested on hardware + in interpret mode) behind YOLORT_QCONV=1 as the
+    documented experiment; see docs/PERF.md "fused int8 conv (negative)".
+    """
     return (
         _HAS_PLTPU
         and jax.default_backend() not in ("cpu",)
-        and os.environ.get("YOLORT_QCONV", "1") != "0"
+        and os.environ.get("YOLORT_QCONV", "0") == "1"
     )
 
 
@@ -93,8 +108,12 @@ def qconv1x1(xq, wq, scale, bias, *, act="silu", inv_out_scale=None,
     m, c = xq.shape
     cout = wq.shape[1]
     out_int8 = inv_out_scale is not None
-    tm = min(block_m, m)
     tn = cout if cout <= 512 else 512
+    # tile M so the f32/s32 accumulator stays ~2 MB: small-channel convs get
+    # much taller tiles (grid-step overhead dominated the first version —
+    # 800 steps at tm=1024 for an 80x80x64 conv measured 4x slower than XLA)
+    tm = max(block_m, (2 ** 21 // (4 * tn)) // 512 * 512)
+    tm = min(tm, m)
     grid = (pl.cdiv(m, tm), pl.cdiv(cout, tn))
     ios = jnp.reshape(
         (inv_out_scale if out_int8 else jnp.float32(1.0)).astype(jnp.float32), (1,)
@@ -137,21 +156,23 @@ def _kernel_3x3(x_ref, w_ref, sc_ref, b_ref, ios_ref, out_ref, *,
     # not FLOPs.  One extra bottom row keeps the largest offset (2P+2) in
     # range on the last chunk.
     vp = jnp.pad(v, ((1, 2), (1, p_w - w - 1), (0, 0)))
-    vf = vp.reshape((h + 3) * p_w, c)
+    # dy-concat: stack the three row-shifted views on the channel dim (outer
+    # slices are free), turning the 9 K=C matmuls into 3 K=3C matmuls — much
+    # better MXU utilization at the small-channel levels, and 3 dx-shift
+    # relayouts per chunk instead of 9 tap slices
+    z = jnp.concatenate([vp[0 : h + 1], vp[1 : h + 2], vp[2 : h + 3]], axis=-1)
+    zf = z.reshape((h + 1) * p_w, 3 * c)
     cout = out_ref.shape[-1]
     m = chunk * p_w
     for ci in range(h // chunk):
         base = ci * m
         acc = jnp.zeros((m, cout), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                off = base + dy * p_w + dx
-                tap = dy * 3 + dx
-                acc = acc + jnp.dot(
-                    vf[off : off + m],
-                    w_ref[tap * c : (tap + 1) * c, :],
-                    preferred_element_type=jnp.int32,
-                )
+        for dx in range(3):
+            acc = acc + jnp.dot(
+                zf[base + dx : base + dx + m],
+                w_ref[dx * 3 * c : (dx + 1) * 3 * c, :],
+                preferred_element_type=jnp.int32,
+            )
         y = _epilogue(acc, sc_ref[:], b_ref[:], ios_ref[0], act, out_int8,
                       out_ref.dtype)
         out_ref[0, ci * chunk : (ci + 1) * chunk] = (
@@ -186,7 +207,9 @@ def qconv3x3(xq, wq, scale, bias, *, act="silu", inv_out_scale=None,
     ios = jnp.reshape(
         (inv_out_scale if out_int8 else jnp.float32(1.0)).astype(jnp.float32), (1,)
     )
-    w2d = wq.reshape(9 * c, cout)  # tap-major stacking: slice t*C:(t+1)*C
+    # dx-major stacking of dy-concat blocks: slice dx*3C:(dx+1)*3C gives
+    # [W[0,dx]; W[1,dx]; W[2,dx]], matching the kernel's dy-concat channels
+    w2d = wq.transpose(1, 0, 2, 3).reshape(9 * c, cout)
     return pl.pallas_call(
         functools.partial(
             _kernel_3x3, h=h, w=w, c=c, p_w=p_w, chunk=chunk, act=act,

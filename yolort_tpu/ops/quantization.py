@@ -106,11 +106,14 @@ def calibrate_activations(apply_fn, params: Dict, batches) -> Dict:
 
     params = jax.device_get(params)  # uncommit from any accelerator
     cpu = jax.devices("cpu")[0]
-    # run calibration in the params' own compute dtype (e.g. bf16)
-    wdt = next(
-        (np.asarray(l).dtype for l in jax.tree_util.tree_leaves(params)
-         if np.asarray(l).dtype.kind == "f" or str(np.asarray(l).dtype) == "bfloat16"),
-        np.float32,
+    # calibrate on an f32 copy: CPU eager bf16 is emulated (minutes per
+    # 640-px batch on one core), and abs-max ranges are insensitive to the
+    # compute dtype at PTQ noise level.  The recorded ranges are copied back
+    # onto the caller's tree so its own dtypes are untouched.
+    cal = jax.tree_util.tree_map(
+        lambda l: np.asarray(l, np.float32)
+        if str(np.asarray(l).dtype) == "bfloat16" else np.asarray(l),
+        params,
     )
     blocks._CALIBRATION = True
     try:
@@ -118,10 +121,20 @@ def calibrate_activations(apply_fn, params: Dict, batches) -> Dict:
             for batch in batches:
                 b = jnp.asarray(jax.device_get(batch))
                 if jnp.issubdtype(b.dtype, jnp.floating):
-                    b = b.astype(wdt)
-                apply_fn(params, b)
+                    b = b.astype(jnp.float32)
+                apply_fn(cal, b)
     finally:
         blocks._CALIBRATION = False
+
+    def copy_marks(src, dst):
+        if isinstance(src, dict):
+            for k, v in src.items():
+                if k in ("_absmax", "_out_absmax", "_add_absmax"):
+                    dst[k] = v
+                elif isinstance(v, dict):
+                    copy_marks(v, dst[k])
+
+    copy_marks(cal, params)
     return params
 
 
@@ -216,6 +229,58 @@ def strip_calibration(params: Dict) -> Dict:
         return node
 
     return walk(params)
+
+
+def quant_groups(params: Dict, depth: int = 2) -> Tuple[str, ...]:
+    """The '/'-joined path prefixes (at ``depth``) containing calibrated conv
+    leaves — the granularity at which ``sensitivity_scan`` toggles
+    quantization and ``quantize_compute_params(skip=...)`` excludes layers."""
+    groups = []
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        if _is_conv_leaf(node) and "_absmax" in node:
+            g = "/".join(path[:depth])
+            if g not in groups:
+                groups.append(g)
+            return
+        for k, v in node.items():
+            walk(v, path + (k,))
+
+    walk(params, ())
+    return tuple(groups)
+
+
+def sensitivity_scan(apply_fn, calibrated_params: Dict, batch, depth: int = 2,
+                     norm=None) -> list:
+    """Per-group PTQ sensitivity — the skip-list recipe mirroring the
+    reference's ppq calibration flow (/root/reference/deployment/ppq), which
+    calibrates WITH accuracy checks and excludes layers that cost accuracy.
+
+    For each conv group (quant_groups at ``depth``), quantize ONLY that group
+    and measure the mean |delta| of ``apply_fn``'s flattened outputs vs the
+    float baseline on ``batch``.  Returns [(group, delta)] sorted worst
+    first.  Recipe: quantize everything, measure the end metric (AP); if it
+    regresses, skip the top-ranked groups here via
+    ``quantize_compute_params(skip=...)`` until the metric recovers.
+    """
+    import jax
+
+    def flat(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+
+    baseline = flat(apply_fn(strip_calibration(calibrated_params), batch))
+    results = []
+    for g in quant_groups(calibrated_params, depth):
+        only = quantize_compute_params(
+            calibrated_params, predicate=lambda p, _s, g=g: p.startswith(g)
+        )
+        delta = flat(apply_fn(only, batch)) - baseline
+        d = float(jnp.mean(jnp.abs(delta)))
+        results.append((g, d if norm is None else d / norm))
+    return sorted(results, key=lambda t: -t[1])
 
 
 class CalibrationObserver:
