@@ -117,7 +117,15 @@ TRAIN_WORKER = textwrap.dedent(
         shard, np.asarray(x)[lo:hi], x.shape
     )
     step = data_parallel_train_step(task, mesh)
-    state, metrics = step(state, g(images), g(targets), g(mask))
+    ims, tgs, msk = g(images), g(targets), g(mask)
+    # AOT-compile first, then sync on the coordination service: the ranks'
+    # compile times can skew by more than Gloo's 30s channel-setup
+    # rendezvous, which kills the slow rank's first collective (observed as
+    # 'Gloo context initialization failed: GetKeyValue() timed out')
+    compiled = step.lower(state, ims, tgs, msk).compile()
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("train_step_compiled", 600_000)
+    state, metrics = compiled(state, ims, tgs, msk)
     jax.block_until_ready(state)
 
     total = float(np.asarray(metrics["total"]))  # replicated => materializable

@@ -39,6 +39,63 @@ P6_ANCHOR_GRIDS = (
     (436, 615, 739, 380, 925, 792),
 )
 
+# Bias value for lane-padding channels of the padded head (see
+# pad_head_level_params): sigmoid(-1e4) == 0 in every float dtype, so pad
+# lanes can never score above threshold even if a consumer forgets to mask.
+PAD_LOGIT = -1.0e4
+
+
+def padded_num_outputs(num_outputs: int, lane: int = 128) -> int:
+    """Smallest lane-multiple >= num_outputs (85 -> 128 for nc=80)."""
+    return -(-num_outputs // lane) * lane
+
+
+def pad_head_level_params(
+    p: Params, num_anchors: int, num_outputs: int, kp: int
+) -> Params:
+    """Pad one level's head-conv params from A*num_outputs to A*kp output
+    channels (zero weights, PAD_LOGIT bias), interleaved per anchor so the
+    padded output reshapes to (..., A, kp) with lanes [num_outputs:kp] dead.
+
+    Why (hypothesis): with kp a multiple of 128 the (B,H,W,A*kp) ->
+    (B,H*W*A,kp) flatten stays lane-aligned and stage-1 reductions run
+    full-lane, vs the 85-wide minor dim's lane-crossing relayouts.
+    MEASURED OUTCOME on v5e: net slower e2e than the unpadded path (the
+    wider head convs and the sublane-interleaving reshape outweigh the
+    stage-1 win; docs/PERF.md "Negative results") — kept as a tested
+    option via YOLO(head_pad=True).  Works for both the float
+    ('w') and int8-compute ('wq'/'ws'/'xs') parameterizations: zero int8
+    weights contribute 0 to the s32 accumulator, so pad lanes still come out
+    as exactly PAD_LOGIT after the epilogue."""
+    pad = kp - num_outputs
+    if pad == 0:
+        return p
+
+    def padw(w):
+        kh, kw, ci, _ = w.shape
+        w5 = w.reshape(kh, kw, ci, num_anchors, num_outputs)
+        w5 = jnp.pad(w5, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+        return w5.reshape(kh, kw, ci, num_anchors * kp)
+
+    out: Params = {}
+    if "wq" in p:
+        if "os" in p:
+            raise ValueError("padded head requires a float-output conv (no 'os')")
+        out["wq"] = padw(p["wq"])
+        ws = p["ws"].reshape(num_anchors, num_outputs)
+        out["ws"] = jnp.pad(ws, ((0, 0), (0, pad)), constant_values=1.0).reshape(-1)
+        out["xs"] = p["xs"]
+    else:
+        out["w"] = padw(p["w"])
+    b = p.get("b")
+    if b is None:
+        b = jnp.zeros((num_anchors * num_outputs,), jnp.float32)
+    b = b.reshape(num_anchors, num_outputs)
+    out["b"] = jnp.pad(
+        b, ((0, 0), (0, pad)), constant_values=jnp.asarray(PAD_LOGIT, b.dtype)
+    ).reshape(-1)
+    return out
+
 
 @dataclass(frozen=True)
 class YOLOHead:
@@ -74,6 +131,22 @@ class YOLOHead:
         for i, (ch, x) in enumerate(zip(self.in_channels, feats)):
             conv = Conv2dOnly(ch, self.num_outputs * self.num_anchors, 1, bias=True)
             outs.append(conv(p[str(i)], x))
+        return outs
+
+    def padded_call(
+        self, p: Params, feats: Sequence[jax.Array], lane: int = 128
+    ) -> List[jax.Array]:
+        """Per-level logits padded to (N, H, W, A*kp) with kp the smallest
+        lane multiple >= 5+nc.  Pad lanes carry exactly PAD_LOGIT (zero
+        weights + PAD_LOGIT bias), and the A*kp channel layout makes the
+        downstream (B,H,W,A*kp) -> (B,H*W*A,kp) flatten lane-aligned —
+        see pad_head_level_params.  Same params pytree as __call__."""
+        kp = padded_num_outputs(self.num_outputs, lane)
+        outs = []
+        for i, (ch, x) in enumerate(zip(self.in_channels, feats)):
+            conv = Conv2dOnly(ch, kp * self.num_anchors, 1, bias=True)
+            pp = pad_head_level_params(p[str(i)], self.num_anchors, self.num_outputs, kp)
+            outs.append(conv(pp, x))
         return outs
 
 
@@ -160,6 +233,48 @@ def anchor_tables(
         jnp.concatenate(shifts, axis=0),
         jnp.concatenate(stride_vecs, axis=0),
     )
+
+
+def anchor_props_from_index(
+    idx: jax.Array,
+    grid_sizes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    anchor_grids: Sequence[Sequence[float]],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(grid_xy, anchor_wh, stride) for flat anchor indices, computed
+    arithmetically instead of gathered from the anchor_tables constants.
+
+    The flatten_heads ordering is index = offset_l + (h*W_l + w)*A + a, so
+    every property is pure integer arithmetic on the index — a handful of
+    VPU ops on the (k,) index vector, replacing three latency-bound k-row
+    gathers (~21 ns/row each on XLA's TPU gather).  Bit-identical to
+    indexing the anchor_tables arrays (grid coords are small exact ints,
+    anchor/stride values are the same float constants)."""
+    num_anchors = len(anchor_grids[0]) // 2
+    f32 = jnp.float32
+    gx = jnp.zeros(idx.shape, f32)
+    gy = jnp.zeros(idx.shape, f32)
+    sw = jnp.zeros(idx.shape, f32)
+    sh = jnp.zeros(idx.shape, f32)
+    st = jnp.zeros(idx.shape, f32)
+    off = 0
+    for lvl, ((h, w), stride_l, ag) in enumerate(zip(grid_sizes, strides, anchor_grids)):
+        n_l = h * w * num_anchors
+        in_l = (idx >= off) & (idx < off + n_l)
+        local = idx - off
+        a = local % num_anchors
+        cell = local // num_anchors
+        wx = cell % w
+        hy = cell // w
+        gx = jnp.where(in_l, wx.astype(f32), gx)
+        gy = jnp.where(in_l, hy.astype(f32), gy)
+        st = jnp.where(in_l, jnp.float32(stride_l), st)
+        for ai in range(num_anchors):
+            m = in_l & (a == ai)
+            sw = jnp.where(m, jnp.float32(ag[2 * ai]), sw)
+            sh = jnp.where(m, jnp.float32(ag[2 * ai + 1]), sh)
+        off += n_l
+    return jnp.stack([gx, gy], axis=-1), jnp.stack([sw, sh], axis=-1), st
 
 
 def concat_pred_logits(

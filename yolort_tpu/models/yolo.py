@@ -54,6 +54,13 @@ class YOLO:
     classes_per_anchor: Optional[int] = None  # None = exact multi-label
     selection: str = "auto"  # 'auto' | 'single' | 'two_stage' (ops/nms.py)
     stem_s2d: bool = False  # r6.0 only: space-to-depth stem (see darknet.stem_to_s2d)
+    # lane-padded head + postprocess path (ops/nms.py
+    # _single_image_nms_padded): a measured NEGATIVE result on v5e — the
+    # wider head convs + padded flatten cost more than the lane-aligned
+    # stage-1 saves (eval 1640 vs 1723 imgs/s at batch 128; docs/PERF.md
+    # "Negative results").  Kept as a tested option ('auto'/False = off,
+    # True = force); final Detections identical to the default path.
+    head_pad: object = "auto"
 
     def __post_init__(self):
         strides = self.strides or (P6_STRIDES if self.use_p6 else DEFAULT_STRIDES)
@@ -132,7 +139,30 @@ class YOLO:
 
         Uses the lazy-decode postprocess: candidate selection runs on the
         model-dtype scores and boxes are decoded only for selected anchors."""
-        from yolort_tpu.ops.nms import batched_postprocess_from_heads
+        from yolort_tpu.ops.nms import (
+            batched_postprocess_from_heads,
+            batched_postprocess_from_padded_heads,
+        )
+
+        # 'auto' resolves OFF: A/B-measured slower than the default path on
+        # v5e (see the head_pad field comment); True forces it on
+        use_pad = self.head_pad is True
+        if use_pad:
+            feats = self.features(params, images)
+            outs = self.head.padded_call(params["head"], feats)
+            return batched_postprocess_from_padded_heads(
+                outs,
+                self.strides,
+                self.anchor_grids,
+                num_classes=self.num_classes,
+                score_thresh=self.score_thresh,
+                nms_thresh=self.nms_thresh,
+                detections_per_img=self.detections_per_img,
+                pre_nms_topk=self.pre_nms_topk,
+                pre_nms_anchors=self.pre_nms_anchors,
+                nms_tile_size=self.nms_tile_size,
+                nms_impl=self.nms_impl,
+            )
 
         outs = self.head_outputs(params, images)
         return batched_postprocess_from_heads(

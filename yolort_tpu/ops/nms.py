@@ -204,8 +204,9 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
 
 
 def select_topk_threshold(
-    flat: jax.Array, k: int, score_thresh: float, sort: bool = True, w: int = 128
-) -> Tuple[jax.Array, jax.Array]:
+    flat: jax.Array, k: int, score_thresh: float, sort: bool = True, w: int = 128,
+    payload: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, ...]:
     """Exact top-k selection of scores > score_thresh, without a large sort.
 
     Replaces ``lax.top_k`` over the (candidates x classes) score matrix — the
@@ -230,6 +231,20 @@ def select_topk_threshold(
     instead of 9, half the count bandwidth) and the threshold is rounded DOWN
     one ulp so boundary candidates are over- rather than under-selected —
     callers re-apply the exact threshold after rescoring.
+
+    payload: optional (n // w, P) per-CHUNK side table (requires n % w == 0,
+    same dtype family as flat).  Its rows ride the selection's internal chunk
+    gather — lanes [w:w+P] of the same latency-bound row fetch, which is
+    width-insensitive (~21 ns/row regardless) — so each selected slot also
+    returns payload[idx // w] at zero extra gathers.  Callers lay the flat
+    domain out so chunk == semantic row (e.g. one anchor per chunk) and put
+    that row's expensive-to-regather data (decoded boxes) in the payload.
+    Returns (values, indices, payload_rows) instead of (values, indices).
+    A/B NOTE (v5e, eval config): carrying boxes this way measured SLOWER
+    than the separate k-row gather it deletes (1666.7 vs 1723.3 imgs/s) —
+    the narrow w the chunk==anchor layout forces (w=nc=80 instead of 128)
+    grows the chunk count ~1.6x and with it every per-chunk counting pass.
+    Off by default (payload_boxes in batched_postprocess_from_heads).
     """
     n = flat.shape[0]
     k = min(k, n)
@@ -242,6 +257,13 @@ def select_topk_threshold(
         flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
     npad = flat.shape[0]
     nc_chunks = npad // w
+    if payload is not None:
+        if pad:
+            raise ValueError("payload requires flat.size to be a multiple of w")
+        if payload.shape[0] != nc_chunks:
+            raise ValueError(
+                f"payload rows {payload.shape[0]} != chunks {nc_chunks} (w={w})"
+            )
 
     if flat.dtype == jnp.bfloat16:
         bits = jax.lax.bitcast_convert_type(flat, jnp.int16)
@@ -312,7 +334,15 @@ def select_topk_threshold(
     # ONE row gather; the tier masks are recomputed from the gathered values
     # (row gathers are the latency-bound cost at k=4096, so halving them
     # matters more than the recompute)
-    rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
+    if payload is not None:
+        table = jnp.concatenate(
+            [flat.reshape(nc_chunks, w), payload.astype(flat.dtype)], axis=1
+        )
+        rows = table[phys]  # (k, W+P) — payload lanes ride the same fetch
+        rows_v = rows[:, :w]
+        pay = rows[:, w:]
+    else:
+        rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
     if flat.dtype == jnp.bfloat16:
         rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int16)
     else:
@@ -342,6 +372,14 @@ def select_topk_threshold(
     ok = s_iota < jnp.minimum(total, k)
     vals = jnp.where(ok, vals, -1.0)
     idx = jnp.where(ok, idx, 0)
+    if payload is not None:
+        if sort:
+            cols = [pay[:, j] for j in range(pay.shape[1])]
+            srt = jax.lax.sort((-vals, idx, *cols), dimension=0, num_keys=1)
+            vals = -srt[0]
+            idx = srt[1]
+            pay = jnp.stack(srt[2:], axis=1)
+        return vals, idx, pay
     if sort:
         neg, idx = jax.lax.sort_key_val(-vals, idx)
         vals = -neg
@@ -477,8 +515,22 @@ def _single_image_nms_from_logits(
     nms_impl: str,
     topk_impl: str,
     classes_per_anchor: Optional[int] = None,
+    anchor_props: Optional[tuple] = None,
+    payload_boxes: bool = False,
 ) -> Detections:
     """Lazy-decode postprocess for ONE image.
+
+    Two independently-toggled TPU gather eliminations (both bit-compatible
+    with the defaults, A/B-measured in docs/PERF.md):
+
+      * anchor_props = (grid_sizes, strides, anchor_grids): compute each
+        selected anchor's grid/shift/stride by integer arithmetic on the
+        flat index (head.anchor_props_from_index) instead of three k1-row
+        table gathers.
+      * payload_boxes (bisect only): stage 2 lays its flat score domain out
+        one-anchor-per-chunk (w = nc) and rides the decoded boxes through
+        select_topk_threshold's own chunk gather as payload lanes, deleting
+        the separate cand-boxes k-row gather.
 
     logits: (Na, 5+nc) raw head logits in model dtype (e.g. bf16); grid /
     shift: (Na, 2); stride: (Na,).  Candidate *selection* runs on the cheap
@@ -526,9 +578,15 @@ def _single_image_nms_from_logits(
 
     # decode boxes for selected anchors only (reference decode math,
     # _utils.py:43)
-    g = grid[anchor_sel]
-    s = shift[anchor_sel]
-    st = stride[anchor_sel][:, None]
+    if anchor_props is not None:
+        from yolort_tpu.models.head import anchor_props_from_index
+
+        g, s, st = anchor_props_from_index(anchor_sel, *anchor_props)
+        st = st[:, None]
+    else:
+        g = grid[anchor_sel]
+        s = shift[anchor_sel]
+        st = stride[anchor_sel][:, None]
     xy = (sel_sig[:, 0:2] * 2.0 - 0.5 + g) * st
     wh = (sel_sig[:, 2:4] * 2.0) ** 2 * s
     sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
@@ -548,6 +606,14 @@ def _single_image_nms_from_logits(
             top_scores, top_idx = select_topk(flat, min(k, k1 * cpa))
         row = top_idx // cpa
         labels = class_idx.reshape(-1)[top_idx].astype(jnp.int32)
+    elif payload_boxes and topk_impl == "bisect":
+        flat = sel_scores.reshape(-1)
+        top_scores, top_idx, cand_boxes = select_topk_threshold(
+            flat, min(k, k1 * num_classes), score_thresh,
+            w=num_classes, payload=sel_boxes,
+        )
+        labels = (top_idx % num_classes).astype(jnp.int32)
+        row = None
     else:
         flat = sel_scores.reshape(-1)
         if topk_impl == "bisect":
@@ -558,7 +624,101 @@ def _single_image_nms_from_logits(
             top_scores, top_idx = select_topk(flat, min(k, k1 * num_classes))
         row = top_idx // num_classes
         labels = (top_idx % num_classes).astype(jnp.int32)
-    cand_boxes = sel_boxes[row]
+    if row is not None:
+        cand_boxes = sel_boxes[row]
+    valid = top_scores > score_thresh
+
+    max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
+    offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
+    keep = nms_keep_mask(offset_boxes, valid, nms_thresh, tile_size=nms_tile_size,
+                         impl=nms_impl, stop_after=detections_per_img)
+
+    out_boxes, out_scores, out_labels, out_valid, num = _compact_detections(
+        keep, cand_boxes, top_scores, labels, detections_per_img
+    )
+    return Detections(out_boxes, out_scores, out_labels, out_valid, num)
+
+
+def _single_image_nms_padded(
+    logits: jax.Array,
+    *,
+    num_classes: int,
+    grid_sizes,
+    strides,
+    anchor_grids,
+    score_thresh: float,
+    nms_thresh: float,
+    detections_per_img: int,
+    pre_nms_topk: int,
+    pre_nms_anchors: Optional[int],
+    nms_tile_size: int,
+    nms_impl: str,
+) -> Detections:
+    """Lane-padded lazy-decode postprocess for ONE image.
+
+    MEASURED NEGATIVE RESULT on v5e (kept as a tested option, like the
+    Pallas qconv): eval 1580 vs 1723 imgs/s for the default path with
+    arithmetic anchor props — the wider head convs, the not-actually-free
+    padded flatten, and the w=nc payload selection cost more than the
+    lane-aligned stage-1 saves.  See docs/PERF.md "Negative results".
+
+    logits: (Na, kp) raw head logits with kp a 128-lane multiple >= 5+nc —
+    produced by YOLOHead.padded_call, whose pad lanes are exactly PAD_LOGIT
+    (models/head.py).  Functionally identical to
+    ``_single_image_nms_from_logits`` (reference semantics:
+    yolort/models/box_head.py:388-429); what changes is the TPU cost model:
+
+      * the (B,H,W,A*kp) -> (Na, kp) flatten upstream stays lane-aligned
+        (the 85-wide minor dim pays a lane-crossing relayout instead);
+      * stage-1 obj/class-max run as full-lane masked reductions — no
+        lane-slice relayouts on the (Na, kp) stream;
+      * grid/shift/stride come from index arithmetic
+        (head.anchor_props_from_index) instead of three k-row table gathers;
+      * stage-2 lays its flat score domain out one-anchor-per-chunk (w = nc)
+        and rides the decoded boxes through the selection's own chunk gather
+        as payload lanes — the separate cand-boxes k-row gather disappears.
+    """
+    from yolort_tpu.models.head import anchor_props_from_index
+
+    na, kp = logits.shape
+    nc = num_classes
+    k = min(pre_nms_topk, na * nc)
+    k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
+
+    # stage 1 on model-dtype scores: masked full-lane reductions (lane iota
+    # compares are free on the VPU; slicing lanes 4 / 5:5+nc would relayout)
+    lane = jnp.arange(kp, dtype=jnp.int32)
+    cls_mask = (lane >= 5) & (lane < 5 + nc)
+    neg = jnp.asarray(-1.0e4, logits.dtype)
+    obj_logit = jnp.max(jnp.where(lane == 4, logits, neg), axis=-1)
+    cls_logit = jnp.max(jnp.where(cls_mask, logits, neg), axis=-1)
+    # sigmoid is monotone: max_c sig(obj)*sig(cls_c) == sig(obj)*sig(max_c)
+    per_anchor = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)
+    s1_vals, anchor_sel = select_topk_threshold(
+        per_anchor.astype(jnp.float32), k1, 0.0, sort=False
+    )
+
+    sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, kp) THE row gather
+    sel_sig = jax.nn.sigmoid(sel_logits)
+    sel_scores = sel_sig[:, 5:5 + nc] * sel_sig[:, 4:5]  # (k1, nc) f32
+    # invalidate slots past the valid-anchor count (repeated index-0 gathers
+    # must not fabricate duplicate candidates)
+    sel_scores = jnp.where(s1_vals[:, None] >= 0.0, sel_scores, 0.0)
+
+    # decode boxes for the k1 selected anchors; anchor properties from index
+    # arithmetic (bit-identical to the anchor_tables constants)
+    g, s, st = anchor_props_from_index(anchor_sel, grid_sizes, strides, anchor_grids)
+    xy = (sel_sig[:, 0:2] * 2.0 - 0.5 + g) * st[:, None]
+    wh = (sel_sig[:, 2:4] * 2.0) ** 2 * s
+    sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
+
+    # stage 2: top-k (anchor, class) pairs with w=nc so chunk == anchor row;
+    # the decoded boxes ride the chunk gather as payload lanes
+    flat = sel_scores.reshape(-1)
+    top_scores, top_idx, cand_boxes = select_topk_threshold(
+        flat, min(k, k1 * nc), score_thresh, w=nc, payload=sel_boxes
+    )
+    labels = (top_idx % nc).astype(jnp.int32)
     valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
@@ -670,6 +830,8 @@ def batched_postprocess_from_heads(
     topk_impl: str = "auto",
     classes_per_anchor: Optional[int] = None,
     selection: str = "auto",
+    anchor_arith="auto",
+    payload_boxes="auto",
 ) -> Detections:
     """Lazy-decode batched postprocess from raw per-level head logits.
 
@@ -694,6 +856,13 @@ def batched_postprocess_from_heads(
         topk_impl = "bisect" if jax.default_backend() not in ("cpu",) else "topk"
     if selection == "auto":
         selection = "two_stage"
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if anchor_arith == "auto":
+        # pure VPU index arithmetic beats three k1-row table gathers on TPU;
+        # on CPU the gathers are cheaper than the per-level where-chains
+        anchor_arith = on_tpu
+    if payload_boxes == "auto":
+        payload_boxes = on_tpu and topk_impl == "bisect"
 
     if selection == "single":
         fn1 = partial(
@@ -720,8 +889,56 @@ def batched_postprocess_from_heads(
         nms_impl=nms_impl,
         topk_impl=topk_impl,
         classes_per_anchor=classes_per_anchor,
+        anchor_props=(
+            (tuple(grid_sizes), tuple(strides), tuple(tuple(a) for a in anchor_grids))
+            if anchor_arith else None
+        ),
+        payload_boxes=payload_boxes,
     )
     return jax.vmap(fn, in_axes=(0, None, None, None))(logits, grid, shift, stride)
+
+
+def batched_postprocess_from_padded_heads(
+    head_outputs,
+    strides,
+    anchor_grids,
+    *,
+    num_classes: int,
+    score_thresh: float = 0.005,
+    nms_thresh: float = 0.45,
+    detections_per_img: int = 300,
+    pre_nms_topk: int = 4096,
+    pre_nms_anchors: Optional[int] = None,
+    nms_tile_size: int = 256,
+    nms_impl: str = "auto",
+) -> Detections:
+    """Batched postprocess from lane-padded head logits (YOLOHead.padded_call).
+
+    Masked stage-1 reductions, arithmetic anchor properties, payload-carried
+    boxes — see ``_single_image_nms_padded`` (measured negative result on
+    v5e; off by default, forced via YOLO(head_pad=True)).  Requires the
+    bisect selection machinery (select_topk_threshold)."""
+    from yolort_tpu.models.head import flatten_heads
+
+    num_anchors = len(anchor_grids[0]) // 2
+    grid_sizes = tuple(o.shape[1:3] for o in head_outputs)
+    logits = flatten_heads(head_outputs, num_anchors)  # (B, Na, kp) lane-aligned
+
+    fn = partial(
+        _single_image_nms_padded,
+        num_classes=num_classes,
+        grid_sizes=grid_sizes,
+        strides=tuple(strides),
+        anchor_grids=tuple(tuple(a) for a in anchor_grids),
+        score_thresh=score_thresh,
+        nms_thresh=nms_thresh,
+        detections_per_img=detections_per_img,
+        pre_nms_topk=pre_nms_topk,
+        pre_nms_anchors=pre_nms_anchors,
+        nms_tile_size=nms_tile_size,
+        nms_impl=nms_impl,
+    )
+    return jax.vmap(fn)(logits)
 
 
 def batched_postprocess(
