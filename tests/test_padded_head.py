@@ -207,3 +207,44 @@ def test_gather_elimination_toggles_parity(arith, payload):
             _canon(det_ref, i), _canon(det_new, i), rtol=0, atol=1e-5
         )
     assert int(np.asarray(det_ref.num).sum()) > 0
+
+
+@pytest.mark.parametrize("payload", [False, True])
+def test_flatten_pad_parity(payload):
+    """flatten_pad (lane-pad AFTER the standard head convs) must reproduce
+    the default path's detection set exactly."""
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    model = build_yolo(
+        "yolov5_darknet_pan_n_r60",
+        num_classes=12,
+        pre_nms_topk=256,
+        nms_tile_size=64,
+        score_thresh=0.01,
+    )
+    params = model.init(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(8)
+    K = model.head.num_outputs
+    for lvl, p in params["head"].items():
+        b = np.array(p["b"]).reshape(model.num_anchors, K)
+        b[:, 4] += 5.0
+        b[:, 5:] += rng.normal(0, 2.0, size=b[:, 5:].shape)
+        params["head"][lvl] = dict(p, b=jnp.asarray(b.reshape(-1)))
+    images = jnp.asarray(rng.uniform(0, 1, size=(2, 64, 64, 3)), jnp.float32)
+    outs = model.head_outputs(params, images)
+
+    def post(**kw):
+        return batched_postprocess_from_heads(
+            outs, model.strides, model.anchor_grids,
+            num_classes=model.num_classes, score_thresh=0.01,
+            pre_nms_topk=256, nms_tile_size=64, topk_impl="bisect", **kw,
+        )
+
+    det_ref = post()
+    det_new = post(flatten_pad=True, payload_boxes=payload)
+    assert int(np.asarray(det_ref.num).sum()) > 0
+    for i in range(images.shape[0]):
+        assert int(det_ref.num[i]) == int(det_new.num[i])
+        np.testing.assert_allclose(
+            _canon(det_ref, i), _canon(det_new, i), rtol=0, atol=1e-5
+        )

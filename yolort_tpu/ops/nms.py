@@ -203,9 +203,83 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
     return lo.astype(dt)
 
 
+def mxu_row_lookup(bits: jax.Array, phys: jax.Array) -> jax.Array:
+    """Exact row gather ``bits[phys]`` as one-hot int8 MXU matmuls.
+
+    bits: (m, w) int32/int16 bit patterns; phys: (k,) int32 in [0, m).
+    Returns (k, w) with bit-exact rows.
+
+    Why: XLA's TPU gather is latency-bound at ~13-21 ns/row regardless of
+    row width — at k=4096, batch 128 that is ~7 ms per gather in the eval
+    postprocess.  For SMALL tables the same lookup is a (k, m) x (m, w)
+    matmul: the one-hot operand is exact in int8, each table int is split
+    into byte planes (s8 in [-128,127] after a -128 offset), the planes ride
+    ONE dot along a widened minor dim, and the s32 results reassemble the
+    original bit pattern exactly (int32 wrap-around is modulo-2^32 correct).
+    Each output row receives exactly one 1 in its one-hot row, so the +128
+    offset correction is the constant 128 per plane.
+
+    MEASURED NEGATIVE RESULT on v5e (kept as a tested option): at the eval
+    config's sizes (k=4096, m=197/2565, batch 128) this is SLOWER than the
+    gather it replaces (eval 1595 vs 1723 imgs/s) — the k x m one-hot
+    bytes, the byte-plane prep, and the 4x-wide s32 matmul output are more
+    HBM traffic than the ~13 ns/row gather latency is worth.  docs/PERF.md
+    "Negative results".
+    """
+    m, w = bits.shape
+    nbytes = bits.dtype.itemsize
+    xi = bits.astype(jnp.int32)
+    planes = [
+        (((xi >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(nbytes)
+    ]
+    table = jnp.concatenate(planes, axis=1)  # (m, nbytes*w) s8
+    onehot = (
+        phys[:, None] == jnp.arange(m, dtype=phys.dtype)[None, :]
+    ).astype(jnp.int8)  # (k, m), exactly one 1 per row
+    prod = jax.lax.dot_general(
+        onehot, table, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (k, nbytes*w)
+    out = jnp.zeros((phys.shape[0], w), jnp.int32)
+    for i in range(nbytes):
+        byte = prod[:, i * w : (i + 1) * w] + 128  # undo the s8 offset
+        out = out + (byte << (8 * i))  # wraps; bit pattern stays exact
+    return out.astype(bits.dtype)
+
+
+def mxu_narrow_lookup(table: jax.Array, idx: jax.Array, block: int = 32) -> jax.Array:
+    """Exact ``table[idx]`` for NARROW float tables ((m, p) with small p,
+    e.g. the (k1, 4) decoded-boxes table) via a two-level one-hot lookup.
+
+    Level 1 fetches a BLOCK of ``block`` consecutive rows per slot with one
+    mxu_row_lookup (the one-hot shrinks m-fold to m/block — the direct
+    (k, m) one-hot's HBM traffic is what kills the naive approach for
+    k-sized tables); level 2 extracts the sub-row with an in-register
+    one-hot multiply-sum (int32 x 0/1, exact).  Bit-exact f32.
+
+    MEASURED NEGATIVE RESULT on v5e (tested option): eval 1675 vs 1723
+    imgs/s against the plain k-row gather — the level-1 s32 block-fetch
+    output alone outweighs the gather latency.  docs/PERF.md."""
+    m, p = table.shape
+    k = idx.shape[0]
+    mb = -(-m // block)
+    pad = mb * block - m
+    tb = jnp.pad(table, ((0, pad), (0, 0))) if pad else table
+    tb_bits = jax.lax.bitcast_convert_type(
+        tb.astype(jnp.float32), jnp.int32
+    ).reshape(mb, block * p)
+    hi = idx // block
+    lo = idx % block
+    rows = mxu_row_lookup(tb_bits, hi).reshape(k, block, p)
+    onehot = (lo[:, None] == jnp.arange(block, dtype=idx.dtype)[None, :]).astype(
+        jnp.int32
+    )[..., None]
+    out_bits = jnp.sum(rows * onehot, axis=1)  # (k, p) exact
+    return jax.lax.bitcast_convert_type(out_bits, jnp.float32).astype(table.dtype)
+
+
 def select_topk_threshold(
     flat: jax.Array, k: int, score_thresh: float, sort: bool = True, w: int = 128,
-    payload: Optional[jax.Array] = None,
+    payload: Optional[jax.Array] = None, row_gather: str = "auto",
 ) -> Tuple[jax.Array, ...]:
     """Exact top-k selection of scores > score_thresh, without a large sort.
 
@@ -334,6 +408,14 @@ def select_topk_threshold(
     # ONE row gather; the tier masks are recomputed from the gathered values
     # (row gathers are the latency-bound cost at k=4096, so halving them
     # matters more than the recompute)
+    if row_gather == "auto":
+        # A/B on v5e (eval config, batch 128): the one-hot MXU lookup is
+        # SLOWER than XLA's gather even at small chunk counts (1595 vs 1723
+        # imgs/s with s1=197 / s2=2565 chunks) — the k x m one-hot bytes,
+        # the 4x byte-plane s32 output traffic, and the plane prep outgrow
+        # the ~13 ns/row gather latency they replace.  Kept as a tested
+        # option (row_gather='mxu'), default XLA.
+        row_gather = "xla"
     if payload is not None:
         table = jnp.concatenate(
             [flat.reshape(nc_chunks, w), payload.astype(flat.dtype)], axis=1
@@ -341,12 +423,16 @@ def select_topk_threshold(
         rows = table[phys]  # (k, W+P) — payload lanes ride the same fetch
         rows_v = rows[:, :w]
         pay = rows[:, w:]
+    elif row_gather == "mxu":
+        rows_b = mxu_row_lookup(bits.reshape(nc_chunks, w), phys)
+        rows_v = jax.lax.bitcast_convert_type(rows_b, flat.dtype if flat.dtype == jnp.bfloat16 else jnp.float32)
     else:
         rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
-    if flat.dtype == jnp.bfloat16:
-        rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int16)
-    else:
-        rows_b = jax.lax.bitcast_convert_type(rows_v.astype(jnp.float32), jnp.int32)
+    if row_gather != "mxu" or payload is not None:
+        if flat.dtype == jnp.bfloat16:
+            rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int16)
+        else:
+            rows_b = jax.lax.bitcast_convert_type(rows_v.astype(jnp.float32), jnp.int32)
     rows_valid = rows_b > thr_bits
     rows_m = rows_valid & jnp.where(
         is_eq_tier[:, None], rows_b == t, rows_b >= t + 1
@@ -517,6 +603,8 @@ def _single_image_nms_from_logits(
     classes_per_anchor: Optional[int] = None,
     anchor_props: Optional[tuple] = None,
     payload_boxes: bool = False,
+    row_gather: str = "auto",
+    box_gather: str = "auto",
 ) -> Detections:
     """Lazy-decode postprocess for ONE image.
 
@@ -550,7 +638,7 @@ def _single_image_nms_from_logits(
     def select_topk(values, kk, thresh=None, sort=True):
         if topk_impl == "bisect":
             return select_topk_threshold(values, kk, 0.0 if thresh is None else thresh,
-                                         sort=sort)
+                                         sort=sort, row_gather=row_gather)
         if topk_impl == "sort":
             order = jnp.argsort(-values)
             idx = order[:kk]
@@ -625,7 +713,16 @@ def _single_image_nms_from_logits(
         row = top_idx // num_classes
         labels = (top_idx % num_classes).astype(jnp.int32)
     if row is not None:
-        cand_boxes = sel_boxes[row]
+        if box_gather == "auto":
+            # A/B on v5e: the two-level one-hot lookup measured SLOWER than
+            # the k-row gather it replaces (eval 1675 vs 1723 imgs/s) — the
+            # level-1 block fetch's s32 output traffic exceeds the gather
+            # latency.  Tested option, default XLA.
+            box_gather = "xla"
+        if box_gather == "mxu":
+            cand_boxes = mxu_narrow_lookup(sel_boxes, row)
+        else:
+            cand_boxes = sel_boxes[row]
     valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
@@ -653,6 +750,7 @@ def _single_image_nms_padded(
     pre_nms_anchors: Optional[int],
     nms_tile_size: int,
     nms_impl: str,
+    payload_boxes: bool = False,
 ) -> Detections:
     """Lane-padded lazy-decode postprocess for ONE image.
 
@@ -712,13 +810,22 @@ def _single_image_nms_padded(
     wh = (sel_sig[:, 2:4] * 2.0) ** 2 * s
     sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
 
-    # stage 2: top-k (anchor, class) pairs with w=nc so chunk == anchor row;
-    # the decoded boxes ride the chunk gather as payload lanes
+    # stage 2: top-k (anchor, class) pairs.  payload_boxes rides the boxes
+    # through the selection's chunk gather with w=nc (measured slower — the
+    # narrow chunks grow the counting passes; kept as an option); default
+    # is the plain select + one k-row box gather, as in the unpadded path.
     flat = sel_scores.reshape(-1)
-    top_scores, top_idx, cand_boxes = select_topk_threshold(
-        flat, min(k, k1 * nc), score_thresh, w=nc, payload=sel_boxes
-    )
-    labels = (top_idx % nc).astype(jnp.int32)
+    if payload_boxes:
+        top_scores, top_idx, cand_boxes = select_topk_threshold(
+            flat, min(k, k1 * nc), score_thresh, w=nc, payload=sel_boxes
+        )
+        labels = (top_idx % nc).astype(jnp.int32)
+    else:
+        top_scores, top_idx = select_topk_threshold(
+            flat, min(k, k1 * nc), score_thresh
+        )
+        labels = (top_idx % nc).astype(jnp.int32)
+        cand_boxes = sel_boxes[top_idx // nc]
     valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
@@ -832,6 +939,9 @@ def batched_postprocess_from_heads(
     selection: str = "auto",
     anchor_arith="auto",
     payload_boxes="auto",
+    row_gather: str = "auto",
+    box_gather: str = "auto",
+    flatten_pad="auto",
 ) -> Detections:
     """Lazy-decode batched postprocess from raw per-level head logits.
 
@@ -862,7 +972,48 @@ def batched_postprocess_from_heads(
         # on CPU the gathers are cheaper than the per-level where-chains
         anchor_arith = on_tpu
     if payload_boxes == "auto":
-        payload_boxes = on_tpu and topk_impl == "bisect"
+        # A/B on v5e: payload-carried boxes measured slower (1666.7 vs
+        # 1723.3 imgs/s eval) — the w=nc chunk layout grows the counting
+        # passes.  Tested option, default off.
+        payload_boxes = False
+    if flatten_pad == "auto":
+        # A/B on v5e: +31 imgs/s on the exact-eval config (1755 vs 1725,
+        # the lane-aligned stage-1 beats the explicit pad copy) but -43 on
+        # the small-k serving config — enable for eval-style selects only
+        flatten_pad = (
+            on_tpu and topk_impl == "bisect" and pre_nms_topk >= 2048
+        )
+
+    if flatten_pad and selection == "two_stage" and classes_per_anchor is None:
+        # pad the flattened logits to a 128-lane minor dim AFTER the
+        # standard-width head convs (PAD_LOGIT lanes can never score above
+        # threshold), then run the lane-aligned masked-stage-1 path: the
+        # padded-head idea without its wider-conv cost.  A/B'd on v5e.
+        from yolort_tpu.models.head import PAD_LOGIT, padded_num_outputs
+
+        kw = num_classes + 5
+        kp = padded_num_outputs(kw)
+        if kp != kw:
+            logits = jnp.pad(
+                logits, ((0, 0), (0, 0), (0, kp - kw)),
+                constant_values=jnp.asarray(PAD_LOGIT, logits.dtype),
+            )
+        fnp = partial(
+            _single_image_nms_padded,
+            num_classes=num_classes,
+            grid_sizes=tuple(tuple(g) for g in grid_sizes),
+            strides=tuple(strides),
+            anchor_grids=tuple(tuple(a) for a in anchor_grids),
+            score_thresh=score_thresh,
+            nms_thresh=nms_thresh,
+            detections_per_img=detections_per_img,
+            pre_nms_topk=pre_nms_topk,
+            pre_nms_anchors=pre_nms_anchors,
+            nms_tile_size=nms_tile_size,
+            nms_impl=nms_impl,
+            payload_boxes=payload_boxes,
+        )
+        return jax.vmap(fnp)(logits)
 
     if selection == "single":
         fn1 = partial(
@@ -894,6 +1045,8 @@ def batched_postprocess_from_heads(
             if anchor_arith else None
         ),
         payload_boxes=payload_boxes,
+        row_gather=row_gather,
+        box_gather=box_gather,
     )
     return jax.vmap(fn, in_axes=(0, None, None, None))(logits, grid, shift, stride)
 
@@ -911,6 +1064,7 @@ def batched_postprocess_from_padded_heads(
     pre_nms_anchors: Optional[int] = None,
     nms_tile_size: int = 256,
     nms_impl: str = "auto",
+    payload_boxes: bool = False,
 ) -> Detections:
     """Batched postprocess from lane-padded head logits (YOLOHead.padded_call).
 
@@ -937,6 +1091,7 @@ def batched_postprocess_from_padded_heads(
         pre_nms_anchors=pre_nms_anchors,
         nms_tile_size=nms_tile_size,
         nms_impl=nms_impl,
+        payload_boxes=payload_boxes,
     )
     return jax.vmap(fn)(logits)
 
