@@ -203,6 +203,49 @@ def _bisect_kth_bits(bits: jax.Array, valid: jax.Array, k: int,
     return lo.astype(dt)
 
 
+def select_topk_indices(
+    flat: jax.Array, k: int, score_thresh: float = 0.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Indices-only exact top-k: the stage-1 anchor screen without the
+    stream-compaction machinery.
+
+    ``select_topk_threshold`` spends most of its time producing *values*
+    for each output slot (chunk counts -> slot->chunk lookup -> k-row chunk
+    gather -> in-lane rank extract); a stage-1 caller only consumes the
+    selected index SET plus slot occupancy (stage 2 rescores from the
+    gathered logits rows).  This variant bisects the exact k-th value and
+    then runs ONE single-operand int32 sort of ``tier<<B | index`` keys —
+    the strictly-above entries land first (in index order), boundary ties
+    fill the remaining slots (in index order), exactly the set contract of
+    ``select_topk_threshold(..., sort=False)``.  The k-row gather
+    (latency-bound, ~13 ns/row on XLA's TPU gather *regardless of table
+    size* — measured 6.0 ms for 4096 rows from a 197-row table at batch
+    128) is replaced by a 25k-element single-operand sort.
+
+    Returns (ok, idx): ``ok`` marks occupied slots, ``idx`` the selected
+    flat indices (unspecified index for unoccupied slots).
+    """
+    n = flat.shape[0]
+    k = min(k, n)
+    bits = jax.lax.bitcast_convert_type(flat.astype(jnp.float32), jnp.int32)
+    thr_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(score_thresh, jnp.float32), jnp.int32
+    )
+    valid = bits > thr_bits
+    t = _bisect_kth_bits(bits, valid, k)
+    gt = valid & (bits >= t + 1)
+    eq = valid & (bits == t)
+    tier = jnp.where(gt, 0, jnp.where(eq, 1, 2))  # (n,) in {0,1,2}
+    shift = max(int(n - 1).bit_length(), 1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = (tier << shift) | iota
+    skey = jax.lax.sort(key, dimension=0)
+    idx = skey[:k] & ((1 << shift) - 1)
+    total = jnp.sum((tier < 2).astype(jnp.int32))
+    ok = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(total, k)
+    return ok, idx
+
+
 def mxu_row_lookup(bits: jax.Array, phys: jax.Array) -> jax.Array:
     """Exact row gather ``bits[phys]`` as one-hot int8 MXU matmuls.
 
@@ -751,6 +794,8 @@ def _single_image_nms_padded(
     nms_tile_size: int,
     nms_impl: str,
     payload_boxes: bool = False,
+    s1_impl: str = "auto",
+    stage2: str = "auto",
 ) -> Detections:
     """Lane-padded lazy-decode postprocess for ONE image.
 
@@ -792,16 +837,20 @@ def _single_image_nms_padded(
     cls_logit = jnp.max(jnp.where(cls_mask, logits, neg), axis=-1)
     # sigmoid is monotone: max_c sig(obj)*sig(cls_c) == sig(obj)*sig(max_c)
     per_anchor = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)
-    s1_vals, anchor_sel = select_topk_threshold(
-        per_anchor.astype(jnp.float32), k1, 0.0, sort=False
-    )
+    if s1_impl == "auto":
+        s1_impl = "sortidx"
+    if s1_impl == "sortidx":
+        # indices-only screen: one single-operand i32 sort replaces the
+        # whole stream-compaction (incl. its latency-bound k1-row gather)
+        s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
+    else:
+        s1_vals, anchor_sel = select_topk_threshold(
+            per_anchor.astype(jnp.float32), k1, 0.0, sort=False
+        )
+        s1_ok = s1_vals >= 0.0
 
     sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, kp) THE row gather
     sel_sig = jax.nn.sigmoid(sel_logits)
-    sel_scores = sel_sig[:, 5:5 + nc] * sel_sig[:, 4:5]  # (k1, nc) f32
-    # invalidate slots past the valid-anchor count (repeated index-0 gathers
-    # must not fabricate duplicate candidates)
-    sel_scores = jnp.where(s1_vals[:, None] >= 0.0, sel_scores, 0.0)
 
     # decode boxes for the k1 selected anchors; anchor properties from index
     # arithmetic (bit-identical to the anchor_tables constants)
@@ -810,23 +859,54 @@ def _single_image_nms_padded(
     wh = (sel_sig[:, 2:4] * 2.0) ** 2 * s
     sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
 
-    # stage 2: top-k (anchor, class) pairs.  payload_boxes rides the boxes
-    # through the selection's chunk gather with w=nc (measured slower — the
-    # narrow chunks grow the counting passes; kept as an option); default
-    # is the plain select + one k-row box gather, as in the unpadded path.
-    flat = sel_scores.reshape(-1)
-    if payload_boxes:
+    if stage2 == "auto":
+        stage2 = "row128"
+    if stage2 == "row128":
+        # stage 2, chunk == anchor at FULL lane width: the (k1, kp) score
+        # rows keep their 128-lane layout (invalid lanes — box/obj/pad —
+        # masked to 0.0, below any positive threshold), so the selection's
+        # chunk == one anchor row and the decoded boxes ride its internal
+        # chunk gather as payload lanes: the separate cand-boxes k-row
+        # gather disappears WITHOUT the w=nc narrow-chunk counting growth
+        # that sank the earlier payload layout (chunks stay lane-aligned;
+        # the counting stream grows kp/nc = 1.6x but every per-chunk op
+        # stays 128-wide).  Bit-identical detections to the flat80 path:
+        # the per-(anchor,class) scores, threshold semantics, tie order
+        # (chunk == anchor preserves index order) and box values all match.
+        obj_col = jnp.max(jnp.where(lane == 4, sel_sig, 0.0), axis=-1, keepdims=True)
+        score_rows = jnp.where(
+            cls_mask[None, :] & s1_ok[:, None], sel_sig * obj_col, 0.0
+        )  # (k1, kp) f32
         top_scores, top_idx, cand_boxes = select_topk_threshold(
-            flat, min(k, k1 * nc), score_thresh, w=nc, payload=sel_boxes
+            score_rows.reshape(-1), min(k, k1 * nc), score_thresh,
+            w=kp, payload=sel_boxes,
         )
-        labels = (top_idx % nc).astype(jnp.int32)
+        labels = (top_idx % kp - 5).astype(jnp.int32)
+        valid = top_scores > score_thresh
+        labels = jnp.where(valid, labels, 0)  # empty slots carry idx 0
     else:
-        top_scores, top_idx = select_topk_threshold(
-            flat, min(k, k1 * nc), score_thresh
-        )
-        labels = (top_idx % nc).astype(jnp.int32)
-        cand_boxes = sel_boxes[top_idx // nc]
-    valid = top_scores > score_thresh
+        sel_scores = sel_sig[:, 5:5 + nc] * sel_sig[:, 4:5]  # (k1, nc) f32
+        # invalidate slots past the valid-anchor count (repeated index-0
+        # gathers must not fabricate duplicate candidates)
+        sel_scores = jnp.where(s1_ok[:, None], sel_scores, 0.0)
+
+        # payload_boxes rides the boxes through the selection's chunk gather
+        # with w=nc (measured slower — the narrow chunks grow the counting
+        # passes; kept as an option); default is the plain select + one
+        # k-row box gather, as in the unpadded path.
+        flat = sel_scores.reshape(-1)
+        if payload_boxes:
+            top_scores, top_idx, cand_boxes = select_topk_threshold(
+                flat, min(k, k1 * nc), score_thresh, w=nc, payload=sel_boxes
+            )
+            labels = (top_idx % nc).astype(jnp.int32)
+        else:
+            top_scores, top_idx = select_topk_threshold(
+                flat, min(k, k1 * nc), score_thresh
+            )
+            labels = (top_idx % nc).astype(jnp.int32)
+            cand_boxes = sel_boxes[top_idx // nc]
+        valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
     offset_boxes = cand_boxes + (labels.astype(cand_boxes.dtype) * (max_coord + 1.0))[:, None]
@@ -942,6 +1022,8 @@ def batched_postprocess_from_heads(
     row_gather: str = "auto",
     box_gather: str = "auto",
     flatten_pad="auto",
+    s1_impl: str = "auto",
+    stage2: str = "auto",
 ) -> Detections:
     """Lazy-decode batched postprocess from raw per-level head logits.
 
@@ -1012,6 +1094,8 @@ def batched_postprocess_from_heads(
             nms_tile_size=nms_tile_size,
             nms_impl=nms_impl,
             payload_boxes=payload_boxes,
+            s1_impl=s1_impl,
+            stage2=stage2,
         )
         return jax.vmap(fnp)(logits)
 
@@ -1065,6 +1149,8 @@ def batched_postprocess_from_padded_heads(
     nms_tile_size: int = 256,
     nms_impl: str = "auto",
     payload_boxes: bool = False,
+    s1_impl: str = "auto",
+    stage2: str = "auto",
 ) -> Detections:
     """Batched postprocess from lane-padded head logits (YOLOHead.padded_call).
 
@@ -1092,6 +1178,8 @@ def batched_postprocess_from_padded_heads(
         nms_tile_size=nms_tile_size,
         nms_impl=nms_impl,
         payload_boxes=payload_boxes,
+        s1_impl=s1_impl,
+        stage2=stage2,
     )
     return jax.vmap(fn)(logits)
 
