@@ -216,7 +216,18 @@ def main():
                     help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # persistent compile cache (same dir as the test conftest): the bench's
+    # big batch-128 programs compile in minutes cold, seconds warm
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("YOLORT_JAX_CACHE", "/tmp/yolort_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
     import numpy as np
 

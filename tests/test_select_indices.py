@@ -79,6 +79,45 @@ def test_threshold_respected():
     assert set(idx[ok].tolist()) <= set(above.tolist())
 
 
+@pytest.mark.parametrize("seed", [0, 7])
+def test_cell_major_matches_default(seed):
+    """flatten_pad='cell' (conv-layout stage-1 + segment extract) must be
+    bit-identical to the unpadded default path on the same head outputs."""
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(seed)
+    nc, na = 80, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    anchor_grids = (
+        (10.0, 13.0, 16.0, 30.0, 33.0, 23.0),
+        (30.0, 61.0, 62.0, 45.0, 59.0, 119.0),
+        (116.0, 90.0, 156.0, 198.0, 373.0, 326.0),
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(
+        num_classes=nc,
+        score_thresh=0.05,
+        nms_thresh=0.45,
+        detections_per_img=30,
+        pre_nms_topk=128,
+        topk_impl="bisect",
+    )
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell", **kw
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_row128_stage2_matches_flat80(seed):
     """Padded-path stage-2 variants produce identical Detections."""

@@ -460,12 +460,21 @@ def select_topk_threshold(
         # option (row_gather='mxu'), default XLA.
         row_gather = "xla"
     if payload is not None:
-        table = jnp.concatenate(
-            [flat.reshape(nc_chunks, w), payload.astype(flat.dtype)], axis=1
-        )
-        rows = table[phys]  # (k, W+P) — payload lanes ride the same fetch
+        # pad the table minor dim to a 128-lane multiple: a (m, w+P) table
+        # with w+P not lane-aligned makes BOTH the concat and every op on
+        # the gathered rows pay relayouts (measured ~9 ms at w=128, P=4,
+        # batch 128 — more than the gather the payload removes); the padded
+        # layout keeps rows[:, :w] a tile-aligned slice and the row fetch
+        # stays latency-bound (width-insensitive)
+        P = payload.shape[1]
+        tw = -(-(w + P) // 128) * 128
+        parts = [flat.reshape(nc_chunks, w), payload.astype(flat.dtype)]
+        if tw > w + P:
+            parts.append(jnp.zeros((nc_chunks, tw - w - P), flat.dtype))
+        table = jnp.concatenate(parts, axis=1)
+        rows = table[phys]  # (k, TW) — payload lanes ride the same fetch
         rows_v = rows[:, :w]
-        pay = rows[:, w:]
+        pay = rows[:, w:w + P]
     elif row_gather == "mxu":
         rows_b = mxu_row_lookup(bits.reshape(nc_chunks, w), phys)
         rows_v = jax.lax.bitcast_convert_type(rows_b, flat.dtype if flat.dtype == jnp.bfloat16 else jnp.float32)
@@ -851,6 +860,30 @@ def _single_image_nms_padded(
 
     sel_logits = logits[anchor_sel].astype(jnp.float32)  # (k1, kp) THE row gather
     sel_sig = jax.nn.sigmoid(sel_logits)
+    return _decode_stage2_nms(
+        sel_sig, anchor_sel, s1_ok, lane, cls_mask,
+        num_classes=num_classes, grid_sizes=grid_sizes, strides=strides,
+        anchor_grids=anchor_grids, score_thresh=score_thresh,
+        nms_thresh=nms_thresh, detections_per_img=detections_per_img,
+        k=k, k1=k1, nms_tile_size=nms_tile_size, nms_impl=nms_impl,
+        payload_boxes=payload_boxes, stage2=stage2,
+    )
+
+
+def _decode_stage2_nms(
+    sel_sig, anchor_sel, s1_ok, lane, cls_mask, *,
+    num_classes, grid_sizes, strides, anchor_grids, score_thresh,
+    nms_thresh, detections_per_img, k, k1, nms_tile_size, nms_impl,
+    payload_boxes, stage2,
+) -> Detections:
+    """Shared tail of the lane-padded postprocess paths: lazy box decode for
+    the k1 stage-1 survivors (arithmetic anchor properties), stage-2
+    (anchor, class) pair selection, NMS, compaction.  sel_sig: (k1, kp) f32
+    sigmoid of the selected rows (pad lanes ~0)."""
+    from yolort_tpu.models.head import anchor_props_from_index
+
+    nc = num_classes
+    kp = sel_sig.shape[1]
 
     # decode boxes for the k1 selected anchors; anchor properties from index
     # arithmetic (bit-identical to the anchor_tables constants)
@@ -860,7 +893,15 @@ def _single_image_nms_padded(
     sel_boxes = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))  # (k1, 4)
 
     if stage2 == "auto":
-        stage2 = "row128"
+        # A/B on v5e (batch 128, eval config, postprocess-only): flat80
+        # beats row128 BOTH with the unaligned payload table (45.5 vs
+        # 50.2 ms — the 132-lane minor dim relayouts outweighed the
+        # deleted cand-boxes gather) and after lane-aligning the table to
+        # a 128-multiple (cell-major stage-1: 75.2 vs 82.8 ms on a denser
+        # synthetic load) — the payload-widened chunk rows inflate the
+        # stage-2 counting stream more than the one k-row box gather they
+        # remove
+        stage2 = "flat80"
     if stage2 == "row128":
         # stage 2, chunk == anchor at FULL lane width: the (k1, kp) score
         # rows keep their 128-lane layout (invalid lanes — box/obj/pad —
@@ -917,6 +958,95 @@ def _single_image_nms_padded(
         keep, cand_boxes, top_scores, labels, detections_per_img
     )
     return Detections(out_boxes, out_scores, out_labels, out_valid, num)
+
+
+def _single_image_nms_cells(
+    cells: jax.Array,
+    *,
+    num_classes: int,
+    num_anchors: int,
+    grid_sizes,
+    strides,
+    anchor_grids,
+    score_thresh: float,
+    nms_thresh: float,
+    detections_per_img: int,
+    pre_nms_topk: int,
+    pre_nms_anchors: Optional[int],
+    nms_tile_size: int,
+    nms_impl: str,
+    payload_boxes: bool = False,
+    stage2: str = "auto",
+) -> Detections:
+    """Cell-major lazy-decode postprocess for ONE image.
+
+    cells: (n_cells, A*(5+nc)) raw head logits in CONV channel layout — the
+    per-level (H, W, A*kw) outputs reshaped to (H*W, A*kw) and concatenated
+    over levels.  Unlike ``flatten_heads``'s (Na, kw) layout, this concat
+    never changes the minor dimension, so it costs a plain copy instead of
+    a lane-crossing relayout (measured on v5e at batch 128: 2.1 ms vs
+    4.7 ms for flatten+pad, and the segmented stage-1 reductions fuse with
+    it — full stage-1 6.7 ms vs 12.1 ms).  Stage 1 reduces each anchor's
+    [85a+5, 85a+85) class segment and 85a+4 obj lane in place; only the k1
+    selected anchors' cell rows are gathered (one latency-bound k-row
+    fetch) and their 85-lane segment extracted + lane-padded, after which
+    the pipeline is the shared `_decode_stage2_nms` tail — detections are
+    bit-identical to the padded/default paths (same reference semantics,
+    yolort/models/box_head.py:388-429)."""
+    from yolort_tpu.models.head import PAD_LOGIT, padded_num_outputs
+
+    A = num_anchors
+    nc = num_classes
+    kw = 5 + nc
+    n_cells = cells.shape[0]
+    na = n_cells * A
+    k = min(pre_nms_topk, na * nc)
+    k1 = min(pre_nms_anchors if pre_nms_anchors is not None else k + 8, na)
+
+    # stage 1: per-anchor best-class score via segmented full-lane masked
+    # reductions on the A*kw conv rows (sigmoid is monotone, one
+    # transcendental pair per anchor)
+    clane = jnp.arange(A * kw, dtype=jnp.int32)
+    neg = jnp.asarray(-1.0e4, cells.dtype)
+    per = []
+    for a in range(A):
+        base = a * kw
+        obj_l = jnp.max(jnp.where(clane == base + 4, cells, neg), axis=-1)
+        cls_l = jnp.max(
+            jnp.where((clane >= base + 5) & (clane < base + kw), cells, neg), axis=-1
+        )
+        per.append(jax.nn.sigmoid(cls_l) * jax.nn.sigmoid(obj_l))
+    # (n_cells, A) -> (Na,) in flatten_heads anchor order (cell-major, anchor
+    # minor: global anchor index = cell*A + a)
+    per_anchor = jnp.stack(per, axis=-1).reshape(-1)
+
+    s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
+
+    crows = cells[anchor_sel // A]  # (k1, A*kw) THE row gather
+    a_sel = anchor_sel % A
+    # extract the selected anchor's kw-lane segment (3-way select on small
+    # (k1, kw) slices), then lane-pad to the padded-head layout
+    segs = [crows[:, a * kw:(a + 1) * kw] for a in range(A)]
+    sel = segs[-1]
+    for a in range(A - 2, -1, -1):
+        sel = jnp.where((a_sel == a)[:, None], segs[a], sel)
+    kp = padded_num_outputs(kw)
+    if kp != kw:
+        sel = jnp.concatenate(
+            [sel, jnp.full((k1, kp - kw), PAD_LOGIT, sel.dtype)], axis=1
+        )
+    sel_sig = jax.nn.sigmoid(sel.astype(jnp.float32))
+
+    lane = jnp.arange(kp, dtype=jnp.int32)
+    cls_mask = (lane >= 5) & (lane < 5 + nc)
+    return _decode_stage2_nms(
+        sel_sig, anchor_sel, s1_ok, lane, cls_mask,
+        num_classes=num_classes, grid_sizes=grid_sizes, strides=strides,
+        anchor_grids=anchor_grids, score_thresh=score_thresh,
+        nms_thresh=nms_thresh, detections_per_img=detections_per_img,
+        k=k, k1=k1, nms_tile_size=nms_tile_size, nms_impl=nms_impl,
+        payload_boxes=payload_boxes, stage2=stage2,
+    )
 
 
 def _single_image_nms_single_stage(
@@ -1039,8 +1169,6 @@ def batched_postprocess_from_heads(
 
     num_anchors = len(anchor_grids[0]) // 2
     grid_sizes = [o.shape[1:3] for o in head_outputs]
-    logits = flatten_heads(head_outputs, num_anchors)  # (B, Na, K)
-    grid, shift, stride = anchor_tables(grid_sizes, strides, anchor_grids)
 
     if topk_impl == "auto":
         # bisect-select on TPU: ~12x faster than the TopK emitter at k=4096
@@ -1059,12 +1187,41 @@ def batched_postprocess_from_heads(
         # passes.  Tested option, default off.
         payload_boxes = False
     if flatten_pad == "auto":
-        # A/B on v5e: +31 imgs/s on the exact-eval config (1755 vs 1725,
-        # the lane-aligned stage-1 beats the explicit pad copy) but -43 on
-        # the small-k serving config — enable for eval-style selects only
+        # A/B on v5e: the cell-major path keeps the head outputs in conv
+        # channel layout (concat 2.1 ms vs flatten+pad 4.7 ms; segmented
+        # stage-1 6.7 vs 12.1 ms) — best for eval-style large-k selects;
+        # the small-k serving config stays on the unpadded default (-43
+        # imgs/s measured for the padded variants there)
         flatten_pad = (
-            on_tpu and topk_impl == "bisect" and pre_nms_topk >= 2048
+            "cell" if on_tpu and topk_impl == "bisect" and pre_nms_topk >= 2048
+            else False
         )
+
+    if flatten_pad == "cell" and selection == "two_stage" and classes_per_anchor is None:
+        cells = jnp.concatenate(
+            [o.reshape(o.shape[0], gs[0] * gs[1], o.shape[3]) for o, gs in
+             zip(head_outputs, grid_sizes)], axis=1,
+        )  # (B, n_cells, A*kw) — minor dim unchanged: copy, not relayout
+        fnc = partial(
+            _single_image_nms_cells,
+            num_classes=num_classes,
+            num_anchors=num_anchors,
+            grid_sizes=tuple(tuple(g) for g in grid_sizes),
+            strides=tuple(strides),
+            anchor_grids=tuple(tuple(a) for a in anchor_grids),
+            score_thresh=score_thresh,
+            nms_thresh=nms_thresh,
+            detections_per_img=detections_per_img,
+            pre_nms_topk=pre_nms_topk,
+            pre_nms_anchors=pre_nms_anchors,
+            nms_tile_size=nms_tile_size,
+            nms_impl=nms_impl,
+            payload_boxes=payload_boxes,
+            stage2=stage2,
+        )
+        return jax.vmap(fnc)(cells)
+
+    logits = flatten_heads(head_outputs, num_anchors)  # (B, Na, K)
 
     if flatten_pad and selection == "two_stage" and classes_per_anchor is None:
         # pad the flattened logits to a 128-lane minor dim AFTER the
@@ -1098,6 +1255,8 @@ def batched_postprocess_from_heads(
             stage2=stage2,
         )
         return jax.vmap(fnp)(logits)
+
+    grid, shift, stride = anchor_tables(grid_sizes, strides, anchor_grids)
 
     if selection == "single":
         fn1 = partial(
