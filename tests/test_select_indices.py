@@ -118,6 +118,43 @@ def test_cell_major_matches_default(seed):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
 
 
+def test_cell_major_matches_default_p6_and_odd_nc():
+    """Cell path parity on a 4-level (P6) head with nc != 80 and A != 3 —
+    the segmented stage-1 and segment extract must stay generic over level
+    count, anchor count, and class count."""
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(11)
+    nc, na = 13, 4
+    grids = [(8, 8), (4, 4), (2, 2), (1, 1)]
+    strides = (8, 16, 32, 64)
+    anchor_grids = tuple(
+        tuple(float(v) for v in rng.uniform(8, 300, na * 2)) for _ in grids
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(
+        num_classes=nc,
+        score_thresh=0.05,
+        nms_thresh=0.45,
+        detections_per_img=25,
+        pre_nms_topk=96,
+        topk_impl="bisect",
+    )
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell", **kw
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_row128_stage2_matches_flat80(seed):
     """Padded-path stage-2 variants produce identical Detections."""
