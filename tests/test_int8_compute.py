@@ -119,3 +119,42 @@ def test_skip_and_strip(setup):
     a = np.asarray(jax.jit(model.decode)(params, x))
     b = np.asarray(jax.jit(model.decode)(stripped, x))
     assert np.array_equal(a, b)
+
+
+def test_qconcat_same_scale_fast_path_bit_exact():
+    """The identity fast path (all parts literally share the scale object,
+    e.g. SPPF's input + its chained max-pools) must produce byte-identical
+    output to the general rescale path it skips."""
+    from yolort_tpu.ops.blocks import QTensor, _qconcat
+
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(0.0173, jnp.float32)
+    ref = jnp.zeros((0,), jnp.bfloat16)
+    parts = [
+        QTensor(jnp.asarray(rng.integers(-127, 128, (2, 4, 4, 8), dtype=np.int8)), s, ref)
+        for _ in range(4)
+    ]
+
+    fast = _qconcat(parts, axis=-1)  # same scale object -> fast path
+
+    # force the general path with a distinct-but-equal scale object
+    s2 = jnp.asarray(0.0173, jnp.float32)
+    parts_mixed = [QTensor(p.q, s2 if i % 2 else s, ref) for i, p in enumerate(parts)]
+    slow = _qconcat(parts_mixed, axis=-1)
+
+    assert np.array_equal(np.asarray(fast.q), np.asarray(slow.q))
+    assert float(fast.s) == float(slow.s)
+
+    # and under jit (scales become tracers; identity still holds for the
+    # genuinely-shared object, e.g. pool outputs carrying v.s through)
+    @jax.jit
+    def f(q0, q1, sc):
+        a = QTensor(q0, sc, ref)
+        b = QTensor(q1, sc, ref)
+        return _qconcat([a, b], axis=-1).q
+
+    out = f(parts[0].q, parts[1].q, s)
+    assert np.array_equal(
+        np.asarray(out),
+        np.concatenate([np.asarray(parts[0].q), np.asarray(parts[1].q)], axis=-1),
+    )

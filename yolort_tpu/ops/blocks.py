@@ -175,12 +175,25 @@ def _requantize(y, out_scale) -> QTensor:
 
 def _qconcat(parts, axis=-1):
     """Concat that stays in int8 when every part is a QTensor (rescaling to
-    the max scale in the int8 domain); falls back to float otherwise."""
+    the max scale in the int8 domain); falls back to float otherwise.
+
+    When every part carries the SAME scale value (trace-time object
+    identity — e.g. SPPF's input and its chained max-pools, which preserve
+    the producer's scale), the rescale pass is skipped entirely: rescaling
+    by s/s == 1.0 is bit-exact a no-op (integers <= 127 are exact in bf16,
+    round/clip identity), but XLA cannot fold it because scales are runtime
+    parameter values, so the skip saves a full read+write pass over every
+    part."""
     if all(isinstance(p, QTensor) for p in parts):
+        ft = parts[0].ref.dtype
+        if all(p.s is parts[0].s for p in parts[1:]):
+            return QTensor(
+                jnp.concatenate([p.q for p in parts], axis=axis),
+                parts[0].s, parts[0].ref,
+            )
         common = parts[0].s
         for p in parts[1:]:
             common = jnp.maximum(common, p.s)
-        ft = parts[0].ref.dtype
         qs = [
             jnp.clip(jnp.round(p.q.astype(ft) * (p.s / common).astype(ft)), -127.0, 127.0).astype(jnp.int8)
             for p in parts
