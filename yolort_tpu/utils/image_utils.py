@@ -69,3 +69,62 @@ def save_image(path: str, image_rgb_u8: np.ndarray) -> None:
     import cv2
 
     cv2.imwrite(str(path), cv2.cvtColor(image_rgb_u8, cv2.COLOR_RGB2BGR))
+
+
+def get_image_from_url(
+    url: str, rgb: bool = True, timeout: float = 10.0
+) -> np.ndarray:
+    """Fetch and decode an image from a URL -> uint8 HWC (RGB by default).
+
+    Capability parity with the reference's requests-based helper
+    (yolort/utils/image_utils.py:93 get_image_from_url); stdlib urllib so it
+    carries no extra dependency.  In a zero-egress environment this works
+    against loopback/file URLs (how the test exercises it) and raises a
+    clear URLError otherwise.
+    """
+    import urllib.request
+
+    import cv2
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        buf = np.frombuffer(resp.read(), dtype=np.uint8)
+    img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError(f"could not decode image from {url}")
+    if rgb:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+def cv2_imshow(
+    img: np.ndarray,
+    scale: Optional[float] = None,
+    convert_bgr_to_rgb: bool = False,
+    save_fallback: Optional[str] = None,
+) -> Optional[np.ndarray]:
+    """Notebook-friendly image display (reference image_utils.py:52).
+
+    Uses IPython display when available; in headless environments (this
+    image) it falls back to writing ``save_fallback`` (or returning the
+    prepared array) instead of raising — display is an environment
+    capability, not a code path worth crashing over.
+    """
+    import cv2
+
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if convert_bgr_to_rgb and img.ndim == 3:
+        code = cv2.COLOR_BGRA2RGBA if img.shape[-1] == 4 else cv2.COLOR_BGR2RGB
+        img = cv2.cvtColor(img, code)
+    if scale is not None:
+        img = cv2.resize(img, None, fx=scale, fy=scale)
+    try:
+        from IPython.display import display
+        from PIL import Image as _PILImage
+
+        display(_PILImage.fromarray(img))
+        return None
+    except Exception:
+        if save_fallback:
+            save_image(save_fallback, img)
+            return None
+        return img
