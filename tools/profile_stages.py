@@ -48,7 +48,20 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--topk", type=int, default=4096)
     ap.add_argument("--stages", default="head,decode,topk,nms_xla,nms_pallas,full")
+    ap.add_argument("--device", default=None,
+                    help="jax platform override (e.g. cpu); the env-pinned "
+                         "JAX_PLATFORMS can only be overridden via "
+                         "jax.config AFTER import (axon sitecustomize)")
     args = ap.parse_args()
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        __import__("os").environ.get("YOLORT_JAX_CACHE", "/tmp/yolort_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from yolort_tpu.models.yolo import build_yolo
     from yolort_tpu.ops import nms as nms_ops
@@ -103,10 +116,130 @@ def main():
             timed(post, pred, label=f"postprocess nms_impl={impl}")
         except Exception as e:
             print(f"postprocess nms_impl={impl} FAILED: {type(e).__name__}: {str(e)[:200]}")
+    if "cells" in stages:
+        profile_cells(args, model, params, x)
     if "full" in stages:
         dt = timed(lambda p, x: jnp.sum(model(p, x).num), params, x, label="full pipeline")
         if dt > 0:
             print(f"imgs/sec: {args.batch/dt:.1f}")
+
+
+def profile_cells(args, model, params, x):
+    """Cumulative-prefix profile of the cell-major eval postprocess
+    (flatten_pad='cell' — the auto path for topk >= 2048 on TPU): cells
+    concat + segmented stage-1, sort-select, cell-row gather, segment
+    extract + box decode, stage-2 pair select, box gather, NMS+compact.
+    Differences between consecutive rows are the per-stage costs."""
+    from functools import partial
+
+    from yolort_tpu.models.head import (
+        PAD_LOGIT,
+        anchor_props_from_index,
+        padded_num_outputs,
+    )
+    from yolort_tpu.ops.nms import (
+        _compact_detections,
+        cxcywh_to_xyxy,
+        nms_keep_mask,
+        select_topk_indices,
+        select_topk_threshold,
+    )
+
+    heads = jax.jit(model.head_outputs)(params, x)
+    heads = [jnp.asarray(o) for o in heads]
+    grid_sizes = tuple(tuple(o.shape[1:3]) for o in heads)
+    strides, anchor_grids = model.strides, model.anchor_grids
+    A = model.num_anchors
+    nc = model.num_classes
+    kw = 5 + nc
+    k = args.topk
+    k1 = k + 8
+    score_thresh = 0.005
+
+    def cells_of(hs):
+        return jnp.concatenate(
+            [o.reshape(o.shape[0], g[0] * g[1], o.shape[3])
+             for o, g in zip(hs, grid_sizes)], axis=1)
+
+    def stage1_scores(cells):
+        clane = jnp.arange(A * kw, dtype=jnp.int32)
+        neg = jnp.asarray(-1.0e4, cells.dtype)
+        per = []
+        for a in range(A):
+            base = a * kw
+            obj_l = jnp.max(jnp.where(clane == base + 4, cells, neg), axis=-1)
+            cls_l = jnp.max(
+                jnp.where((clane >= base + 5) & (clane < base + kw), cells, neg),
+                axis=-1)
+            per.append(jax.nn.sigmoid(cls_l) * jax.nn.sigmoid(obj_l))
+        return jnp.stack(per, axis=-1).reshape(cells.shape[0], -1)
+
+    def sel_rows(cells):
+        pa = stage1_scores(cells)
+        def one(f, c):
+            ok, a_sel = select_topk_indices(f, k1)
+            return ok, a_sel, c[a_sel // A]
+        return jax.vmap(one)(pa.astype(jnp.float32), cells)
+
+    def seg_extract(a_sel, crows):
+        aa = a_sel % A
+        segs = [crows[:, a * kw:(a + 1) * kw] for a in range(A)]
+        sel = segs[-1]
+        for a in range(A - 2, -1, -1):
+            sel = jnp.where((aa == a)[:, None], segs[a], sel)
+        kp = padded_num_outputs(kw)
+        if kp != kw:
+            sel = jnp.concatenate(
+                [sel, jnp.full((sel.shape[0], kp - kw), PAD_LOGIT, sel.dtype)], axis=1)
+        return jax.nn.sigmoid(sel.astype(jnp.float32))
+
+    def mk_sel(hs):
+        ok, a_sel, crows = sel_rows(cells_of(hs))
+        def one(ok1, a1, cr):
+            ss = seg_extract(a1, cr)
+            g, s, st = anchor_props_from_index(a1, grid_sizes, strides, anchor_grids)
+            xy = (ss[:, 0:2] * 2.0 - 0.5 + g) * st[:, None]
+            wh = (ss[:, 2:4] * 2.0) ** 2 * s
+            bx = cxcywh_to_xyxy(jnp.concatenate([xy, wh], axis=-1))
+            scores = jnp.where(ok1[:, None], ss[:, 5:5 + nc] * ss[:, 4:5], 0.0)
+            return scores, bx
+        return jax.vmap(one)(ok, a_sel, crows)
+
+    timed(lambda hs: jnp.sum(stage1_scores(cells_of(hs)).astype(jnp.float32)),
+          heads, label="cells concat + stage-1")
+    timed(lambda hs: jnp.sum(jax.vmap(lambda f: select_topk_indices(f, k1)[1])(
+        stage1_scores(cells_of(hs)).astype(jnp.float32)).astype(jnp.float32)),
+          heads, label="+ stage-1 sort-select")
+    timed(lambda hs: jnp.sum(sel_rows(cells_of(hs))[2].astype(jnp.float32)),
+          heads, label="+ cell-row gather")
+    def p_seg(hs):
+        scores, bx = mk_sel(hs)
+        return jnp.sum(scores) + jnp.sum(bx)
+    timed(p_seg, heads, label="+ seg extract + box decode")
+
+    def p_sel(hs):
+        scores, bx = mk_sel(hs)
+        def one(sc):
+            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh)
+            return jnp.sum(v) + jnp.sum(i)
+        return jnp.sum(jax.vmap(one)(scores)) + jnp.sum(bx)
+    timed(p_sel, heads, label="+ stage-2 pair select")
+
+    def p_full(hs):
+        scores, bx = mk_sel(hs)
+        def one(sc, b):
+            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh)
+            labels = (i % nc).astype(jnp.int32)
+            cb = b[i // nc]
+            valid = v > score_thresh
+            mx = jnp.max(jnp.where(valid[:, None], cb, 0.0))
+            ob = cb + (labels.astype(cb.dtype) * (mx + 1.0))[:, None]
+            keep = nms_keep_mask(ob, valid, model.nms_thresh,
+                                 tile_size=model.nms_tile_size,
+                                 impl="auto", stop_after=300)
+            return _compact_detections(keep, cb, v, labels, 300)[4]
+        return jnp.sum(jax.vmap(one)(scores, bx))
+    timed(p_full, heads, label="+ box gather + NMS + compact")
 
 
 if __name__ == "__main__":
