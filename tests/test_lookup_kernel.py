@@ -1,0 +1,85 @@
+"""In-VMEM byte-plane row-fetch kernel (ops/pallas/lookup_kernel.py).
+
+Bit-exactness contract: pallas_row_fetch(table, phys) == table[phys] for
+arbitrary f32 bit patterns (the byte-plane s8 one-hot matmul math is shared
+with ops.nms.mxu_row_lookup, whose corners are pinned in
+tests/test_mxu_lookup.py).  Runs in interpret mode on CPU; the TPU path
+compiles the same kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+
+
+@pytest.mark.parametrize("m,w,k", [(300, 128, 1024), (2565, 128, 4096), (77, 4, 600)])
+def test_fetch_parity_random(m, w, k):
+    rng = np.random.default_rng(m + k)
+    tab = jnp.asarray(rng.standard_normal((m, w)).astype(np.float32))
+    phys = jnp.asarray(rng.integers(0, m, (k,), dtype=np.int32))
+    out = np.asarray(pallas_row_fetch(tab, phys, interpret=True))
+    np.testing.assert_array_equal(out[:, :w], np.asarray(tab)[np.asarray(phys)])
+    if w < 128:
+        assert not out[:, w:].any()
+
+
+def test_fetch_parity_special_values():
+    """Sign/exponent corners: the byte planes and the int32 wrap-around
+    recombination must reproduce every f32 bit pattern exactly."""
+    specials = np.asarray(
+        [0.0, -0.0, 1.0, -1.0, np.inf, -np.inf, np.nan, np.float32(1e-45),
+         np.float32(-1e-45), np.float32(3.4e38), np.float32(-3.4e38),
+         np.float32(0.005), np.float32(1e-8)],
+        np.float32,
+    )
+    rng = np.random.default_rng(0)
+    tab = rng.standard_normal((160, 128)).astype(np.float32)
+    tab[: len(specials), 0] = specials
+    tab[: len(specials), 127] = specials[::-1].copy()
+    # INT_MIN/INT_MAX bit patterns
+    tab[20, 5] = np.int32(-(2**31)).view(np.float32)
+    tab[21, 5] = np.int32(2**31 - 1).view(np.float32)
+    phys = rng.integers(0, 160, (512,), dtype=np.int32)
+    phys[:30] = np.arange(30)
+    out = np.asarray(pallas_row_fetch(jnp.asarray(tab), jnp.asarray(phys),
+                                      interpret=True))
+    np.testing.assert_array_equal(
+        out.view(np.int32), tab[phys].view(np.int32)
+    )
+
+
+def test_cell_path_with_pallas_gathers_matches_default():
+    """flatten_pad='cell' + row_gather/box_gather='pallas' (interpret on CPU)
+    must be bit-identical to the default XLA gathers."""
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(5)
+    nc, na = 80, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    anchor_grids = (
+        (10.0, 13.0, 16.0, 30.0, 33.0, 23.0),
+        (30.0, 61.0, 62.0, 45.0, 59.0, 119.0),
+        (116.0, 90.0, 156.0, 198.0, 373.0, 326.0),
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(
+        num_classes=nc, score_thresh=0.05, nms_thresh=0.45,
+        detections_per_img=30, pre_nms_topk=128, topk_impl="bisect",
+    )
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell",
+        row_gather="pallas", box_gather="pallas", **kw,
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw,
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)

@@ -478,6 +478,16 @@ def select_topk_threshold(
     elif row_gather == "mxu":
         rows_b = mxu_row_lookup(bits.reshape(nc_chunks, w), phys)
         rows_v = jax.lax.bitcast_convert_type(rows_b, flat.dtype if flat.dtype == jnp.bfloat16 else jnp.float32)
+    elif row_gather == "pallas" and flat.dtype != jnp.bfloat16 and w <= 128:
+        # in-VMEM byte-plane one-hot MXU fetch (lookup_kernel.py): same
+        # exact math as 'mxu' but zero HBM one-hot/plane traffic, band
+        # skipping over the nondecreasing slot->chunk mapping
+        from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+
+        rows_v = pallas_row_fetch(
+            flat.reshape(nc_chunks, w), phys,
+            interpret=jax.default_backend() in ("cpu",),
+        )[:, :w]
     else:
         rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
     if row_gather != "mxu" or payload is not None:
@@ -773,6 +783,12 @@ def _single_image_nms_from_logits(
             box_gather = "xla"
         if box_gather == "mxu":
             cand_boxes = mxu_narrow_lookup(sel_boxes, row)
+        elif box_gather == "pallas":
+            from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+
+            cand_boxes = pallas_row_fetch(
+                sel_boxes, row, interpret=jax.default_backend() in ("cpu",)
+            )[:, :4]
         else:
             cand_boxes = sel_boxes[row]
     valid = top_scores > score_thresh
@@ -805,6 +821,8 @@ def _single_image_nms_padded(
     payload_boxes: bool = False,
     s1_impl: str = "auto",
     stage2: str = "auto",
+    row_gather: str = "auto",
+    box_gather: str = "auto",
 ) -> Detections:
     """Lane-padded lazy-decode postprocess for ONE image.
 
@@ -867,6 +885,7 @@ def _single_image_nms_padded(
         nms_thresh=nms_thresh, detections_per_img=detections_per_img,
         k=k, k1=k1, nms_tile_size=nms_tile_size, nms_impl=nms_impl,
         payload_boxes=payload_boxes, stage2=stage2,
+        row_gather=row_gather, box_gather=box_gather,
     )
 
 
@@ -874,7 +893,7 @@ def _decode_stage2_nms(
     sel_sig, anchor_sel, s1_ok, lane, cls_mask, *,
     num_classes, grid_sizes, strides, anchor_grids, score_thresh,
     nms_thresh, detections_per_img, k, k1, nms_tile_size, nms_impl,
-    payload_boxes, stage2,
+    payload_boxes, stage2, row_gather="auto", box_gather="auto",
 ) -> Detections:
     """Shared tail of the lane-padded postprocess paths: lazy box decode for
     the k1 stage-1 survivors (arithmetic anchor properties), stage-2
@@ -943,10 +962,18 @@ def _decode_stage2_nms(
             labels = (top_idx % nc).astype(jnp.int32)
         else:
             top_scores, top_idx = select_topk_threshold(
-                flat, min(k, k1 * nc), score_thresh
+                flat, min(k, k1 * nc), score_thresh, row_gather=row_gather
             )
             labels = (top_idx % nc).astype(jnp.int32)
-            cand_boxes = sel_boxes[top_idx // nc]
+            if box_gather == "pallas":
+                from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+
+                cand_boxes = pallas_row_fetch(
+                    sel_boxes, top_idx // nc,
+                    interpret=jax.default_backend() in ("cpu",),
+                )[:, :4]
+            else:
+                cand_boxes = sel_boxes[top_idx // nc]
         valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
@@ -977,6 +1004,8 @@ def _single_image_nms_cells(
     nms_impl: str,
     payload_boxes: bool = False,
     stage2: str = "auto",
+    row_gather: str = "auto",
+    box_gather: str = "auto",
 ) -> Detections:
     """Cell-major lazy-decode postprocess for ONE image.
 
@@ -1046,6 +1075,7 @@ def _single_image_nms_cells(
         nms_thresh=nms_thresh, detections_per_img=detections_per_img,
         k=k, k1=k1, nms_tile_size=nms_tile_size, nms_impl=nms_impl,
         payload_boxes=payload_boxes, stage2=stage2,
+        row_gather=row_gather, box_gather=box_gather,
     )
 
 
@@ -1218,6 +1248,8 @@ def batched_postprocess_from_heads(
             nms_impl=nms_impl,
             payload_boxes=payload_boxes,
             stage2=stage2,
+            row_gather=row_gather,
+            box_gather=box_gather,
         )
         return jax.vmap(fnc)(cells)
 
@@ -1253,6 +1285,8 @@ def batched_postprocess_from_heads(
             payload_boxes=payload_boxes,
             s1_impl=s1_impl,
             stage2=stage2,
+            row_gather=row_gather,
+            box_gather=box_gather,
         )
         return jax.vmap(fnp)(logits)
 

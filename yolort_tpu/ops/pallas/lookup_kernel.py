@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: bit-exact k-row table lookup as in-VMEM one-hot MXU
+matmuls.
+
+Why: XLA's TPU gather is latency-bound at ~13-21 ns/row *regardless of row
+width or table size* (measured, docs/PERF.md) — at the exact-eval config the
+two k=4096-row gathers (stage-2 chunk rows + candidate boxes) cost ~11 ms of
+the 63 ms step at batch 128.  The XLA-level one-hot matmul replacement
+(`ops.nms.mxu_row_lookup`) measured SLOWER because it materializes the
+(k, m) one-hot and the 4x byte planes in HBM (~2.7 GB of traffic per batch).
+This kernel runs the same exact byte-plane math with everything VMEM
+resident: one-hot tiles are generated in registers per (slot-block,
+row-block) pair, planes are prepped once per image, and nothing but the
+(m, 128) table and the (k,) indices ever crosses HBM.
+
+Exactness: the table's f32 bit patterns are split into four s8 byte planes
+(offset -128); 0/1 x s8 products accumulate exactly in s32; each output row
+receives exactly one 1 across all row-blocks, so the +128 offset correction
+is the constant 128 per plane, and int32 wrap-around reassembles the
+original bits modulo 2^32 — bit-exact for arbitrary f32 (incl. the
+INT_MIN/INT_MAX sign corners pinned by tests/test_mxu_lookup.py for the XLA
+variant; this kernel reuses that contract).
+
+Band skipping: per 512-slot block the kernel reduces the block's index range
+to [lo, hi] scalars and `@pl.when`-skips row-blocks outside it.  The
+stage-2 selection's slot->chunk mapping is nondecreasing (two sorted tiers),
+so its slot blocks touch a narrow row band and most of the (k/512 x m/128)
+matmul grid never runs; unsorted indices (the box fetch) degrade gracefully
+to the full grid, which is still MXU-bound rather than latency-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU test runs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_W = 128   # table row width (lanes)
+_SB = 512  # slots per block
+_RB = 128  # table rows per block
+
+
+def pallas_fetch_available() -> bool:
+    return _HAS_PLTPU and jax.default_backend() not in ("cpu",)
+
+
+def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int):
+    """phys (k, 1) i32; planes (m, 4*_W) s8 (byte-plane table, row-major);
+    out (k, _W) f32; acc scratch (_SB, 4*_W) i32."""
+    nrb = m // _RB
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+
+    for sb in range(k // _SB):
+        phys = phys_ref[pl.ds(sb * _SB, _SB), :]  # (_SB, 1) i32
+        lo = jnp.min(phys)
+        hi = jnp.max(phys)
+        acc_ref[:, :] = jnp.zeros((_SB, 4 * _W), jnp.int32)
+        for rb in range(nrb):
+
+            @pl.when((lo < (rb + 1) * _RB) & (hi >= rb * _RB))
+            def _mm(phys=phys, rb=rb):
+                onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
+                blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, 4*_W) s8
+                acc_ref[:, :] += jax.lax.dot_general(
+                    onehot, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+        bits = jnp.zeros((_SB, _W), jnp.int32)
+        for i in range(4):
+            byte = acc_ref[:, i * _W:(i + 1) * _W] + 128  # undo the s8 offset
+            bits = bits + (byte << (8 * i))  # wraps; bit pattern exact
+        out_ref[pl.ds(sb * _SB, _SB), :] = jax.lax.bitcast_convert_type(
+            bits, jnp.float32
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_row_fetch(table: jax.Array, phys: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """Bit-exact ``table[phys]`` for a (m, w<=128) f32 table and (k,) i32
+    indices, as in-VMEM byte-plane one-hot MXU matmuls.  Returns (k, 128)
+    f32 whose first w lanes are the gathered rows (pad lanes zero).  k is
+    padded to a 512 multiple and m to 128 internally."""
+    m, w = table.shape
+    if w > _W:
+        raise ValueError(f"row width {w} > {_W}")
+    k = phys.shape[0]
+    mp = -(-m // _RB) * _RB
+    kp = -(-k // _SB) * _SB
+    tab = table.astype(jnp.float32)
+    if w < _W or mp > m:
+        tab = jnp.pad(tab, ((0, mp - m), (0, _W - w)))
+    bits = jax.lax.bitcast_convert_type(tab, jnp.int32)
+    planes = jnp.concatenate(
+        [(((bits >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(4)],
+        axis=1,
+    )  # (mp, 4*_W) s8
+    ph = jnp.clip(phys.astype(jnp.int32), 0, m - 1)
+    if kp > k:
+        ph = jnp.concatenate([ph, jnp.zeros((kp - k,), jnp.int32)])
+    ph = ph.reshape(kp, 1)
+
+    vspec = (
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+        if (_HAS_PLTPU and not interpret)
+        else pl.BlockSpec()
+    )
+    out = pl.pallas_call(
+        functools.partial(_fetch_kernel, k=kp, m=mp),
+        out_shape=jax.ShapeDtypeStruct((kp, _W), jnp.float32),
+        in_specs=[vspec, vspec],
+        out_specs=vspec,
+        scratch_shapes=[pltpu.VMEM((_SB, 4 * _W), jnp.int32)],
+        interpret=interpret,
+    )(ph, planes)
+    return out[:k]
