@@ -272,10 +272,17 @@ def mxu_row_lookup(bits: jax.Array, phys: jax.Array) -> jax.Array:
     m, w = bits.shape
     nbytes = bits.dtype.itemsize
     xi = bits.astype(jnp.int32)
-    planes = [
-        (((xi >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(nbytes)
-    ]
-    table = jnp.concatenate(planes, axis=1)  # (m, nbytes*w) s8
+    if nbytes == 4:
+        # shared plane construction with the in-VMEM kernel (exactness
+        # contract lives in one place)
+        from yolort_tpu.ops.pallas.lookup_kernel import byte_planes
+
+        table = byte_planes(xi)  # (m, 4*w) s8
+    else:
+        planes = [
+            (((xi >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(nbytes)
+        ]
+        table = jnp.concatenate(planes, axis=1)  # (m, nbytes*w) s8
     onehot = (
         phys[:, None] == jnp.arange(m, dtype=phys.dtype)[None, :]
     ).astype(jnp.int8)  # (k, m), exactly one 1 per row
@@ -318,6 +325,28 @@ def mxu_narrow_lookup(table: jax.Array, idx: jax.Array, block: int = 32) -> jax.
     )[..., None]
     out_bits = jnp.sum(rows * onehot, axis=1)  # (k, p) exact
     return jax.lax.bitcast_convert_type(out_bits, jnp.float32).astype(table.dtype)
+
+
+def _gather_box_rows(sel_boxes: jax.Array, row: jax.Array, box_gather: str) -> jax.Array:
+    """Candidate-boxes k-row fetch with the selected implementation:
+    'xla'/'auto' = plain gather; 'mxu' = two-level one-hot lookup (XLA
+    level, measured negative); 'pallas' = in-VMEM byte-plane kernel
+    (lookup_kernel.py), falling back to the gather on backends the kernel
+    cannot serve."""
+    if box_gather == "mxu":
+        return mxu_narrow_lookup(sel_boxes, row)
+    if box_gather == "pallas":
+        from yolort_tpu.ops.pallas.lookup_kernel import (
+            pallas_fetch_mode,
+            pallas_row_fetch,
+        )
+
+        mode = pallas_fetch_mode()
+        if mode is not None:
+            return pallas_row_fetch(
+                sel_boxes, row, interpret=mode == "interpret"
+            )[:, :4]
+    return sel_boxes[row]
 
 
 def select_topk_threshold(
@@ -481,13 +510,20 @@ def select_topk_threshold(
     elif row_gather == "pallas" and flat.dtype != jnp.bfloat16 and w <= 128:
         # in-VMEM byte-plane one-hot MXU fetch (lookup_kernel.py): same
         # exact math as 'mxu' but zero HBM one-hot/plane traffic, band
-        # skipping over the nondecreasing slot->chunk mapping
-        from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+        # skipping over the nondecreasing slot->chunk mapping.  Falls back
+        # to the XLA gather on backends the kernel cannot serve (mode None).
+        from yolort_tpu.ops.pallas.lookup_kernel import (
+            pallas_fetch_mode,
+            pallas_row_fetch,
+        )
 
-        rows_v = pallas_row_fetch(
-            flat.reshape(nc_chunks, w), phys,
-            interpret=jax.default_backend() in ("cpu",),
-        )[:, :w]
+        mode = pallas_fetch_mode()
+        if mode is None:
+            rows_v = flat.reshape(nc_chunks, w)[phys]
+        else:
+            rows_v = pallas_row_fetch(
+                flat.reshape(nc_chunks, w), phys, interpret=mode == "interpret"
+            )[:, :w]
     else:
         rows_v = flat.reshape(nc_chunks, w)[phys]  # (k, W) row gather
     if row_gather != "mxu" or payload is not None:
@@ -781,16 +817,7 @@ def _single_image_nms_from_logits(
             # level-1 block fetch's s32 output traffic exceeds the gather
             # latency.  Tested option, default XLA.
             box_gather = "xla"
-        if box_gather == "mxu":
-            cand_boxes = mxu_narrow_lookup(sel_boxes, row)
-        elif box_gather == "pallas":
-            from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
-
-            cand_boxes = pallas_row_fetch(
-                sel_boxes, row, interpret=jax.default_backend() in ("cpu",)
-            )[:, :4]
-        else:
-            cand_boxes = sel_boxes[row]
+        cand_boxes = _gather_box_rows(sel_boxes, row, box_gather)
     valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))
@@ -965,15 +992,7 @@ def _decode_stage2_nms(
                 flat, min(k, k1 * nc), score_thresh, row_gather=row_gather
             )
             labels = (top_idx % nc).astype(jnp.int32)
-            if box_gather == "pallas":
-                from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
-
-                cand_boxes = pallas_row_fetch(
-                    sel_boxes, top_idx // nc,
-                    interpret=jax.default_backend() in ("cpu",),
-                )[:, :4]
-            else:
-                cand_boxes = sel_boxes[top_idx // nc]
+            cand_boxes = _gather_box_rows(sel_boxes, top_idx // nc, box_gather)
         valid = top_scores > score_thresh
 
     max_coord = jnp.max(jnp.where(valid[:, None], cand_boxes, 0.0))

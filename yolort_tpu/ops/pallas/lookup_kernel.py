@@ -49,8 +49,31 @@ _SB = 512  # slots per block
 _RB = 128  # table rows per block
 
 
-def pallas_fetch_available() -> bool:
-    return _HAS_PLTPU and jax.default_backend() not in ("cpu",)
+def pallas_fetch_mode() -> str | None:
+    """How pallas_row_fetch can run on the current backend: 'compile' on TPU
+    backends (incl. the axon relay), 'interpret' on CPU (slow but exact —
+    how the tests run), None when unavailable (no pltpu module, or a GPU
+    backend where the Mosaic kernel cannot lower) — callers fall back to
+    the XLA gather."""
+    if not _HAS_PLTPU:
+        return None
+    b = jax.default_backend()
+    if b == "cpu":
+        return "interpret"
+    if b in ("gpu", "cuda", "rocm"):
+        return None
+    return "compile"
+
+
+def byte_planes(bits: jax.Array) -> jax.Array:
+    """Split (m, w) int32 bit patterns into the (m, 4*w) s8 byte-plane table
+    (each byte offset by -128 into s8 range).  Shared exactness contract with
+    the recombination `(plane + 128) << (8*i)` summed with int32 wrap — see
+    ops.nms.mxu_row_lookup and _fetch_kernel."""
+    return jnp.concatenate(
+        [(((bits >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(4)],
+        axis=1,
+    )
 
 
 def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int):
@@ -91,6 +114,11 @@ def pallas_row_fetch(table: jax.Array, phys: jax.Array,
     indices, as in-VMEM byte-plane one-hot MXU matmuls.  Returns (k, 128)
     f32 whose first w lanes are the gathered rows (pad lanes zero).  k is
     padded to a 512 multiple and m to 128 internally."""
+    if not _HAS_PLTPU:
+        raise RuntimeError(
+            "pallas_row_fetch requires jax.experimental.pallas.tpu "
+            "(unavailable in this jaxlib) — use the XLA gather instead"
+        )
     m, w = table.shape
     if w > _W:
         raise ValueError(f"row width {w} > {_W}")
@@ -101,19 +129,14 @@ def pallas_row_fetch(table: jax.Array, phys: jax.Array,
     if w < _W or mp > m:
         tab = jnp.pad(tab, ((0, mp - m), (0, _W - w)))
     bits = jax.lax.bitcast_convert_type(tab, jnp.int32)
-    planes = jnp.concatenate(
-        [(((bits >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(4)],
-        axis=1,
-    )  # (mp, 4*_W) s8
+    planes = byte_planes(bits)  # (mp, 4*_W) s8
     ph = jnp.clip(phys.astype(jnp.int32), 0, m - 1)
     if kp > k:
         ph = jnp.concatenate([ph, jnp.zeros((kp - k,), jnp.int32)])
     ph = ph.reshape(kp, 1)
 
     vspec = (
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-        if (_HAS_PLTPU and not interpret)
-        else pl.BlockSpec()
+        pl.BlockSpec(memory_space=pltpu.VMEM) if not interpret else pl.BlockSpec()
     )
     out = pl.pallas_call(
         functools.partial(_fetch_kernel, k=kp, m=mp),

@@ -104,9 +104,10 @@ def cv2_imshow(
 ) -> Optional[np.ndarray]:
     """Notebook-friendly image display (reference image_utils.py:52).
 
-    Uses IPython display when available; in headless environments (this
-    image) it falls back to writing ``save_fallback`` (or returning the
-    prepared array) instead of raising — display is an environment
+    Displays via IPython only inside a live interactive shell
+    (``get_ipython()`` non-None — merely having IPython installed does not
+    make the environment displayable).  Otherwise writes ``save_fallback``
+    when given, else returns the prepared array — display is an environment
     capability, not a code path worth crashing over.
     """
     import cv2
@@ -118,9 +119,12 @@ def cv2_imshow(
     if scale is not None:
         img = cv2.resize(img, None, fx=scale, fy=scale)
     try:
+        from IPython import get_ipython
         from IPython.display import display
         from PIL import Image as _PILImage
 
+        if get_ipython() is None:
+            raise RuntimeError("not in an interactive IPython shell")
         display(_PILImage.fromarray(img))
         return None
     except Exception:
