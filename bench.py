@@ -189,6 +189,46 @@ def run_streaming(model, params, size, dtype, batch: int, n_batches: int = 8):
     return round(raw_rate, 2), round(adj_rate, 2), round(rtt * 1000, 2)
 
 
+def run_train(model, size, dtype, batch: int, steps: int = 20, warmup: int = 3):
+    """Training throughput (imgs/s): full train step — forward, YOLOLoss
+    with its fixed-shape target assignment, backward, optimizer update —
+    on synthetic images + targets.  Steps are chained through the updated
+    TrainState (each depends on the previous), dispatched asynchronously,
+    and timed with ONE final scalar fetch (the relay-safe method
+    run_config uses)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolort_tpu.models.losses import pad_targets
+    from yolort_tpu.trainer import DefaultTask, make_train_step
+
+    task = DefaultTask(model, lr=0.01)
+    state = task.init_state(jax.random.PRNGKey(0))
+    step = make_train_step(task)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32), dtype
+    )
+    per_img = [
+        {
+            "labels": rng.integers(0, model.num_classes, (12,)),
+            "boxes_cxcywh_norm": np.clip(rng.uniform(0.05, 0.95, (12, 4)), 0.05, 0.4),
+        }
+        for _ in range(batch)
+    ]
+    targets, mask = pad_targets(per_img, 16)
+    for _ in range(warmup):
+        state, metrics = step(state, images, targets, mask)
+    float(metrics["bbox_regression"])  # drain the warmup chain
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, images, targets, mask)
+    float(metrics["bbox_regression"])  # one fetch closes the whole chain
+    dt = time.perf_counter() - t0
+    return round(batch * steps / dt, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="yolov5_darknet_pan_s_r60")
@@ -212,6 +252,9 @@ def main():
                     help="skip the batch-1/8 latency percentiles")
     ap.add_argument("--skip-streaming", action="store_true",
                     help="skip the host-fed streaming throughput row")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the training-throughput row")
+    ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--stem-s2d", action="store_true",
                     help="space-to-depth stem rewrite (output-identical)")
     args = ap.parse_args()
@@ -287,6 +330,12 @@ def main():
         result["streaming_imgs_per_sec"] = sraw
         result["streaming_rtt_adjusted"] = sadj
         result["streaming_relay_rtt_ms"] = srtt
+
+    if not args.skip_train:
+        result["train_imgs_per_sec"] = run_train(
+            model, s, dtype, batch=args.train_batch
+        )
+        result["train_config"] = f"batch{args.train_batch} full step (fwd+loss+bwd+opt)"
 
     if not args.skip_eval_config:
         from dataclasses import replace
