@@ -83,3 +83,58 @@ def test_cell_path_with_pallas_gathers_matches_default():
     )
     for fa, fb, name in zip(a, b, a._fields):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
+@pytest.mark.parametrize("case", ["random", "ties", "few"])
+def test_select_extract_matches_default(case):
+    """row_gather='pallas_select' (in-kernel tier recompute + rank extract)
+    must match the default XLA extraction exactly — values, indices, order —
+    including boundary tie storms and nearly-empty domains."""
+    from yolort_tpu.ops.nms import select_topk_threshold
+
+    rng = np.random.default_rng(hash(case) % 2**31)
+    n, k, thr = 4104 * 80, 4096, 0.005
+    if case == "random":
+        flat = rng.uniform(0, 1, n).astype(np.float32)
+    elif case == "ties":
+        flat = np.full(n, 0.25, np.float32)
+        flat[rng.integers(0, n, 500)] = 0.5
+    else:
+        flat = np.zeros(n, np.float32)
+        flat[rng.integers(0, n, 37)] = rng.uniform(0.1, 0.9, 37).astype(np.float32)
+    fj = jnp.asarray(flat)
+    va, ia = select_topk_threshold(fj, k, thr)
+    vb, ib = select_topk_threshold(fj, k, thr, row_gather="pallas_select")
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
+def test_cell_path_with_pallas_select_matches_default():
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(9)
+    nc, na = 80, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    anchor_grids = (
+        (10.0, 13.0, 16.0, 30.0, 33.0, 23.0),
+        (30.0, 61.0, 62.0, 45.0, 59.0, 119.0),
+        (116.0, 90.0, 156.0, 198.0, 373.0, 326.0),
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(num_classes=nc, score_thresh=0.05, nms_thresh=0.45,
+              detections_per_img=30, pre_nms_topk=128, topk_impl="bisect")
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell",
+        row_gather="pallas_select", box_gather="pallas", **kw,
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw,
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)

@@ -507,19 +507,43 @@ def select_topk_threshold(
     elif row_gather == "mxu":
         rows_b = mxu_row_lookup(bits.reshape(nc_chunks, w), phys)
         rows_v = jax.lax.bitcast_convert_type(rows_b, flat.dtype if flat.dtype == jnp.bfloat16 else jnp.float32)
-    elif row_gather == "pallas" and flat.dtype != jnp.bfloat16 and w <= 128:
+    elif (
+        row_gather in ("pallas", "pallas_select")
+        and flat.dtype != jnp.bfloat16
+        and w <= 128
+    ):
         # in-VMEM byte-plane one-hot MXU fetch (lookup_kernel.py): same
         # exact math as 'mxu' but zero HBM one-hot/plane traffic, band
-        # skipping over the nondecreasing slot->chunk mapping.  Falls back
+        # skipping over the nondecreasing slot->chunk mapping.
+        # 'pallas_select' additionally runs the tier recompute + in-lane
+        # rank extraction INSIDE the kernel — the (k, w) rows never touch
+        # HBM and the XLA-side tail below is skipped entirely.  Falls back
         # to the XLA gather on backends the kernel cannot serve (mode None).
         from yolort_tpu.ops.pallas.lookup_kernel import (
             pallas_fetch_mode,
             pallas_row_fetch,
+            pallas_select_extract,
         )
 
         mode = pallas_fetch_mode()
         if mode is None:
             rows_v = flat.reshape(nc_chunks, w)[phys]
+        elif row_gather == "pallas_select" and w == 128:
+            import numpy as _np
+
+            static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
+            vals, lane = pallas_select_extract(
+                flat.reshape(nc_chunks, w), phys, p, is_eq_tier, t,
+                thr_bits=static_thr_bits, interpret=mode == "interpret",
+            )
+            idx = phys * w + lane
+            ok = s_iota < jnp.minimum(total, k)
+            vals = jnp.where(ok, vals, -1.0)
+            idx = jnp.where(ok, idx, 0)
+            if sort:
+                neg, idx = jax.lax.sort_key_val(-vals, idx)
+                vals = -neg
+            return vals, idx
         else:
             rows_v = pallas_row_fetch(
                 flat.reshape(nc_chunks, w), phys, interpret=mode == "interpret"

@@ -84,27 +84,126 @@ def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int):
 
     for sb in range(k // _SB):
         phys = phys_ref[pl.ds(sb * _SB, _SB), :]  # (_SB, 1) i32
-        lo = jnp.min(phys)
-        hi = jnp.max(phys)
-        acc_ref[:, :] = jnp.zeros((_SB, 4 * _W), jnp.int32)
-        for rb in range(nrb):
-
-            @pl.when((lo < (rb + 1) * _RB) & (hi >= rb * _RB))
-            def _mm(phys=phys, rb=rb):
-                onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
-                blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, 4*_W) s8
-                acc_ref[:, :] += jax.lax.dot_general(
-                    onehot, blk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-
-        bits = jnp.zeros((_SB, _W), jnp.int32)
-        for i in range(4):
-            byte = acc_ref[:, i * _W:(i + 1) * _W] + 128  # undo the s8 offset
-            bits = bits + (byte << (8 * i))  # wraps; bit pattern exact
+        bits = _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l)
         out_ref[pl.ds(sb * _SB, _SB), :] = jax.lax.bitcast_convert_type(
             bits, jnp.float32
         )
+
+
+def _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l):
+    """Shared per-slot-block fetch: (_SB, 1) indices -> (_SB, _W) i32 row
+    bits via band-skipped byte-plane one-hot matmuls."""
+    lo = jnp.min(phys)
+    hi = jnp.max(phys)
+    acc_ref[:, :] = jnp.zeros((_SB, 4 * _W), jnp.int32)
+    for rb in range(nrb):
+
+        @pl.when((lo < (rb + 1) * _RB) & (hi >= rb * _RB))
+        def _mm(phys=phys, rb=rb):
+            onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
+            blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, 4*_W) s8
+            acc_ref[:, :] += jax.lax.dot_general(
+                onehot, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+    bits = jnp.zeros((_SB, _W), jnp.int32)
+    for i in range(4):
+        byte = acc_ref[:, i * _W:(i + 1) * _W] + 128  # undo the s8 offset
+        bits = bits + (byte << (8 * i))  # wraps; bit pattern exact
+    return bits
+
+
+def _select_kernel(meta_ref, planes_ref, t_ref, out_ref, acc_ref,
+                   *, k: int, m: int, thr_bits: int):
+    """In-kernel tail of select_topk_threshold's extraction: fetch each
+    slot's chunk-row bits (byte-plane matmuls), recompute the gt/eq tier
+    masks against the bisected k-th value t, extract the slot's in-lane rank
+    hit, and emit (value, lane) — the (k, _W) rows never touch HBM and the
+    XLA-side tier/rank machinery disappears.
+
+    meta (k, 8) i32: col 0 = phys (chunk row), col 1 = p (within-chunk
+    rank), col 2 = is_eq tier flag.  t (1, 1) i32 in SMEM: the k-th value's
+    f32 bits.  out (k, _W) f32: col 0 = value, col 1 = lane."""
+    nrb = m // _RB
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (_W, _W), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (_W, _W), 1)
+    ).astype(jnp.bfloat16)  # inclusive-cumsum-as-matmul (counts <= 128: exact)
+    t = t_ref[0, 0]
+
+    for sb in range(k // _SB):
+        phys = meta_ref[pl.ds(sb * _SB, _SB), 0:1]  # (_SB, 1) i32
+        p = meta_ref[pl.ds(sb * _SB, _SB), 1:2]
+        is_eq = meta_ref[pl.ds(sb * _SB, _SB), 2:3] > 0
+        bits = _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l)
+        rows_v = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        rows_valid = bits > thr_bits
+        rows_m = rows_valid & jnp.where(is_eq, bits == t, bits >= t + 1)
+        incl = jax.lax.dot_general(
+            rows_m.astype(jnp.bfloat16), tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rank = incl.astype(jnp.int32) - 1
+        hit = rows_m & (rank == p)
+        vals = jnp.sum(jnp.where(hit, rows_v, 0.0), axis=1, keepdims=True)
+        lane = jnp.sum(
+            jnp.where(hit, iota_l.astype(jnp.float32), 0.0), axis=1, keepdims=True
+        )
+        # full-row write: col 0 = value, col 1 = lane, rest zero
+        out_ref[pl.ds(sb * _SB, _SB), :] = jnp.where(
+            iota_l == 0, vals, jnp.where(iota_l == 1, lane, 0.0)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("thr_bits", "interpret"))
+def pallas_select_extract(flat_rows: jax.Array, phys: jax.Array, p: jax.Array,
+                          is_eq: jax.Array, t_bits: jax.Array, thr_bits: int,
+                          interpret: bool = False):
+    """In-kernel slot extraction for select_topk_threshold: for each output
+    slot, fetch its chunk row (byte-plane matmuls in VMEM), recompute the
+    tier mask against t, and extract the p-th set lane's (value, lane).
+
+    flat_rows: (m, _W) f32 chunk table; phys/p/is_eq: (k,) slot metadata;
+    t_bits: () i32 bisected k-th value bits; thr_bits: static threshold
+    bits.  Returns (vals (k,) f32, lane (k,) i32) — identical to the
+    XLA gather + tier recompute + tri-matmul rank extraction it replaces.
+    """
+    if not _HAS_PLTPU:
+        raise RuntimeError("pallas_select_extract requires pallas.tpu")
+    m, w = flat_rows.shape
+    if w != _W:
+        raise ValueError(f"select mode requires w == {_W}")
+    k = phys.shape[0]
+    mp = -(-m // _RB) * _RB
+    kp = -(-k // _SB) * _SB
+    tab = flat_rows.astype(jnp.float32)
+    if mp > m:
+        tab = jnp.pad(tab, ((0, mp - m), (0, 0)))
+    planes = byte_planes(jax.lax.bitcast_convert_type(tab, jnp.int32))
+    meta = jnp.zeros((kp, 8), jnp.int32)
+    meta = meta.at[:k, 0].set(jnp.clip(phys.astype(jnp.int32), 0, m - 1))
+    meta = meta.at[:k, 1].set(p.astype(jnp.int32))
+    meta = meta.at[:k, 2].set(is_eq.astype(jnp.int32))
+    t_in = t_bits.astype(jnp.int32).reshape(1, 1)
+
+    vspec = (
+        pl.BlockSpec(memory_space=pltpu.VMEM) if not interpret else pl.BlockSpec()
+    )
+    sspec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret else pl.BlockSpec()
+    )
+    out = pl.pallas_call(
+        functools.partial(_select_kernel, k=kp, m=mp, thr_bits=thr_bits),
+        out_shape=jax.ShapeDtypeStruct((kp, _W), jnp.float32),
+        in_specs=[vspec, vspec, sspec],
+        out_specs=vspec,
+        scratch_shapes=[pltpu.VMEM((_SB, 4 * _W), jnp.int32)],
+        interpret=interpret,
+    )(meta, planes, t_in)
+    return out[:k, 0], out[:k, 1].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
