@@ -138,3 +138,60 @@ def test_cell_path_with_pallas_select_matches_default():
     )
     for fa, fb, name in zip(a, b, a._fields):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
+@pytest.mark.parametrize("case", ["random", "ties", "few", "empty"])
+def test_pallas_full_matches_default(case):
+    """row_gather='pallas_full' (in-kernel 4-ary bisect + chunk counts +
+    select-extract) must match the default path exactly — the bisection
+    invariant has a unique fixed point, so the arity change cannot move t."""
+    from yolort_tpu.ops.nms import select_topk_threshold
+
+    rng = np.random.default_rng(len(case))
+    n, k, thr = 2565 * 128, 4096, 0.005
+    if case == "random":
+        flat = rng.uniform(0, 1, n).astype(np.float32)
+    elif case == "ties":
+        flat = np.full(n, 0.25, np.float32)
+        flat[rng.integers(0, n, 300)] = 0.5
+    elif case == "few":
+        flat = np.zeros(n, np.float32)
+        flat[rng.integers(0, n, 23)] = rng.uniform(0.1, 0.9, 23).astype(np.float32)
+    else:
+        flat = np.zeros(n, np.float32)  # nothing above threshold
+    fj = jnp.asarray(flat)
+    va, ia = select_topk_threshold(fj, k, thr)
+    vb, ib = select_topk_threshold(fj, k, thr, row_gather="pallas_full")
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
+def test_cell_path_with_pallas_full_matches_default():
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(13)
+    nc, na = 80, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    anchor_grids = (
+        (10.0, 13.0, 16.0, 30.0, 33.0, 23.0),
+        (30.0, 61.0, 62.0, 45.0, 59.0, 119.0),
+        (116.0, 90.0, 156.0, 198.0, 373.0, 326.0),
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(num_classes=nc, score_thresh=0.05, nms_thresh=0.45,
+              detections_per_img=30, pre_nms_topk=128, topk_impl="bisect")
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell",
+        row_gather="pallas_full", box_gather="pallas", **kw,
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw,
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)

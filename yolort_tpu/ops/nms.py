@@ -411,7 +411,36 @@ def select_topk_threshold(
                 f"payload rows {payload.shape[0]} != chunks {nc_chunks} (w={w})"
             )
 
-    if flat.dtype == jnp.bfloat16:
+    pallas_full = False
+    if row_gather == "pallas_full" and flat.dtype != jnp.bfloat16 and w == 128:
+        # fully in-VMEM bisect + chunk counts (lookup_kernel.py): the XLA
+        # path re-streams the flat domain from HBM for every counting pass
+        # (~5.1 ms) and again for the tier chunk counts (~3.3 ms); the
+        # kernel holds the chunk table VMEM-resident and produces an
+        # identical t (the bisection invariant has a unique fixed point).
+        # Extraction then runs through the pallas_select path below.
+        from yolort_tpu.ops.pallas.lookup_kernel import (
+            pallas_bisect_count,
+            pallas_fetch_mode,
+        )
+
+        _mode = pallas_fetch_mode()
+        if _mode is not None:
+            import numpy as _np
+
+            static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
+            t, cg, ce = pallas_bisect_count(
+                flat.reshape(nc_chunks, w), k, static_thr_bits,
+                interpret=_mode == "interpret",
+            )
+            thr_bits = jnp.asarray(static_thr_bits, jnp.int32)
+            cnt = jnp.concatenate([cg, ce])
+            pallas_full = True
+        row_gather = "pallas_select"
+
+    if pallas_full:
+        pass
+    elif flat.dtype == jnp.bfloat16:
         bits = jax.lax.bitcast_convert_type(flat, jnp.int16)
         thr_bits = (
             jax.lax.bitcast_convert_type(
@@ -429,14 +458,16 @@ def select_topk_threshold(
         valid = bits > thr_bits
         t = _bisect_kth_bits(bits, valid, k)
 
-    sel_gt = valid & (bits >= t + 1)  # strictly above the boundary: < k of them
-    sel_eq = valid & (bits == t)      # boundary ties fill remaining slots
-    gt_c = sel_gt.reshape(nc_chunks, w)
-    eq_c = sel_eq.reshape(nc_chunks, w)
-    # virtual concatenation [gt entries, eq entries], both in index order
-    cnt = jnp.concatenate(
-        [jnp.sum(gt_c, axis=1, dtype=jnp.int32), jnp.sum(eq_c, axis=1, dtype=jnp.int32)]
-    )  # (2*NC,)
+    if not pallas_full:
+        sel_gt = valid & (bits >= t + 1)  # strictly above the boundary: < k
+        sel_eq = valid & (bits == t)      # boundary ties fill remaining slots
+        gt_c = sel_gt.reshape(nc_chunks, w)
+        eq_c = sel_eq.reshape(nc_chunks, w)
+        # virtual concatenation [gt entries, eq entries], both in index order
+        cnt = jnp.concatenate(
+            [jnp.sum(gt_c, axis=1, dtype=jnp.int32),
+             jnp.sum(eq_c, axis=1, dtype=jnp.int32)]
+        )  # (2*NC,)
     off = jnp.cumsum(cnt) - cnt
     total = off[-1] + cnt[-1]
 
