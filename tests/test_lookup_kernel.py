@@ -195,3 +195,59 @@ def test_cell_path_with_pallas_full_matches_default():
     )
     for fa, fb, name in zip(a, b, a._fields):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
+def test_fetch_parity_bf16_and_wide():
+    """bf16 tables (2 byte planes) and >128-lane tables (column groups)
+    must both reproduce rows bit-exactly."""
+    from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+
+    rng = np.random.default_rng(21)
+    # bf16, 255 lanes (the cells-table shape family)
+    tab = jnp.asarray(
+        rng.standard_normal((300, 255)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    phys = jnp.asarray(rng.integers(0, 300, (600,), dtype=np.int32))
+    out = pallas_row_fetch(tab, phys, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(tab)[np.asarray(phys)]
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, :255].view(np.uint16), ref.view(np.uint16)
+    )
+    # f32, 300 lanes (3 column groups)
+    tf = jnp.asarray(rng.standard_normal((200, 300)).astype(np.float32))
+    pf = jnp.asarray(rng.integers(0, 200, (512,), dtype=np.int32))
+    of = pallas_row_fetch(tf, pf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(of)[:, :300],
+                                  np.asarray(tf)[np.asarray(pf)])
+
+
+def test_cell_path_with_pallas_cell_gather_matches_default():
+    from yolort_tpu.ops.nms import batched_postprocess_from_heads
+
+    rng = np.random.default_rng(17)
+    nc, na = 80, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    strides = (8, 16, 32)
+    anchor_grids = (
+        (10.0, 13.0, 16.0, 30.0, 33.0, 23.0),
+        (30.0, 61.0, 62.0, 45.0, 59.0, 119.0),
+        (116.0, 90.0, 156.0, 198.0, 373.0, 326.0),
+    )
+    heads = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, na * (5 + nc))).astype(np.float32) * 2.0 - 2.0
+        )
+        for h, w in grids
+    ]
+    kw = dict(num_classes=nc, score_thresh=0.05, nms_thresh=0.45,
+              detections_per_img=30, pre_nms_topk=128, topk_impl="bisect")
+    a = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad="cell",
+        row_gather="pallas_full", box_gather="pallas", cell_gather="pallas", **kw,
+    )
+    b = batched_postprocess_from_heads(
+        heads, strides, anchor_grids, flatten_pad=False, **kw,
+    )
+    for fa, fb, name in zip(a, b, a._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)

@@ -1080,6 +1080,7 @@ def _single_image_nms_cells(
     stage2: str = "auto",
     row_gather: str = "auto",
     box_gather: str = "auto",
+    cell_gather: str = "auto",
 ) -> Detections:
     """Cell-major lazy-decode postprocess for ONE image.
 
@@ -1125,7 +1126,27 @@ def _single_image_nms_cells(
 
     s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
 
-    crows = cells[anchor_sel // A]  # (k1, A*kw) THE row gather
+    cell_sel = anchor_sel // A
+    if cell_gather == "pallas":
+        # band-skipped in-VMEM byte-plane fetch: anchor_sel is piecewise
+        # index-sorted (two tiers from the sort compaction), so each
+        # 512-slot block touches a narrow row band of the (n_cells, A*kw)
+        # table; bf16 tables use 2 byte planes.  Falls back to the XLA
+        # gather where the kernel can't serve the backend.
+        from yolort_tpu.ops.pallas.lookup_kernel import (
+            pallas_fetch_mode,
+            pallas_row_fetch,
+        )
+
+        _mode = pallas_fetch_mode()
+        if _mode is None:
+            crows = cells[cell_sel]
+        else:
+            crows = pallas_row_fetch(
+                cells, cell_sel, interpret=_mode == "interpret"
+            )[:, : A * kw]
+    else:
+        crows = cells[cell_sel]  # (k1, A*kw) THE row gather
     a_sel = anchor_sel % A
     # extract the selected anchor's kw-lane segment (3-way select on small
     # (k1, kw) slices), then lane-pad to the padded-head layout
@@ -1258,6 +1279,7 @@ def batched_postprocess_from_heads(
     flatten_pad="auto",
     s1_impl: str = "auto",
     stage2: str = "auto",
+    cell_gather: str = "auto",
 ) -> Detections:
     """Lazy-decode batched postprocess from raw per-level head logits.
 
@@ -1324,6 +1346,7 @@ def batched_postprocess_from_heads(
             stage2=stage2,
             row_gather=row_gather,
             box_gather=box_gather,
+            cell_gather=cell_gather,
         )
         return jax.vmap(fnc)(cells)
 

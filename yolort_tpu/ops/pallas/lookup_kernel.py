@@ -65,50 +65,53 @@ def pallas_fetch_mode() -> str | None:
     return "compile"
 
 
-def byte_planes(bits: jax.Array) -> jax.Array:
-    """Split (m, w) int32 bit patterns into the (m, 4*w) s8 byte-plane table
-    (each byte offset by -128 into s8 range).  Shared exactness contract with
-    the recombination `(plane + 128) << (8*i)` summed with int32 wrap — see
-    ops.nms.mxu_row_lookup and _fetch_kernel."""
+def byte_planes(bits: jax.Array, nbytes: int = 4) -> jax.Array:
+    """Split (m, w) int bit patterns into the (m, nbytes*w) s8 byte-plane
+    table (each byte offset by -128 into s8 range).  Shared exactness
+    contract with the recombination `(plane + 128) << (8*i)` summed with
+    int32 wrap — see ops.nms.mxu_row_lookup and _fetch_kernel.  nbytes=4
+    for f32/i32 tables, 2 for bf16/i16 (half the matmul work)."""
+    bits = bits.astype(jnp.int32)
     return jnp.concatenate(
-        [(((bits >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(4)],
+        [(((bits >> (8 * i)) & 0xFF) - 128).astype(jnp.int8) for i in range(nbytes)],
         axis=1,
     )
 
 
-def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int):
-    """phys (k, 1) i32; planes (m, 4*_W) s8 (byte-plane table, row-major);
-    out (k, _W) f32; acc scratch (_SB, 4*_W) i32."""
+def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int,
+                  nbytes: int = 4):
+    """phys (k, 1) i32; planes (m, nbytes*_W) s8 (byte-plane table,
+    row-major); out (k, _W) i32 row bit patterns (zero-extended for
+    nbytes=2); acc scratch (_SB, nbytes*_W) i32."""
     nrb = m // _RB
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
 
     for sb in range(k // _SB):
         phys = phys_ref[pl.ds(sb * _SB, _SB), :]  # (_SB, 1) i32
-        bits = _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l)
-        out_ref[pl.ds(sb * _SB, _SB), :] = jax.lax.bitcast_convert_type(
-            bits, jnp.float32
+        out_ref[pl.ds(sb * _SB, _SB), :] = _fetch_block_bits(
+            phys, planes_ref, acc_ref, nrb, iota_l, nbytes
         )
 
 
-def _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l):
+def _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l, nbytes=4):
     """Shared per-slot-block fetch: (_SB, 1) indices -> (_SB, _W) i32 row
     bits via band-skipped byte-plane one-hot matmuls."""
     lo = jnp.min(phys)
     hi = jnp.max(phys)
-    acc_ref[:, :] = jnp.zeros((_SB, 4 * _W), jnp.int32)
+    acc_ref[:, :] = jnp.zeros((_SB, nbytes * _W), jnp.int32)
     for rb in range(nrb):
 
         @pl.when((lo < (rb + 1) * _RB) & (hi >= rb * _RB))
         def _mm(phys=phys, rb=rb):
             onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
-            blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, 4*_W) s8
+            blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, nbytes*_W) s8
             acc_ref[:, :] += jax.lax.dot_general(
                 onehot, blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
 
     bits = jnp.zeros((_SB, _W), jnp.int32)
-    for i in range(4):
+    for i in range(nbytes):
         byte = acc_ref[:, i * _W:(i + 1) * _W] + 128  # undo the s8 offset
         bits = bits + (byte << (8 * i))  # wraps; bit pattern exact
     return bits
@@ -297,26 +300,29 @@ def pallas_select_extract(flat_rows: jax.Array, phys: jax.Array, p: jax.Array,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_row_fetch(table: jax.Array, phys: jax.Array,
                      interpret: bool = False) -> jax.Array:
-    """Bit-exact ``table[phys]`` for a (m, w<=128) f32 table and (k,) i32
-    indices, as in-VMEM byte-plane one-hot MXU matmuls.  Returns (k, 128)
-    f32 whose first w lanes are the gathered rows (pad lanes zero).  k is
-    padded to a 512 multiple and m to 128 internally."""
+    """Bit-exact ``table[phys]`` for a (m, w) f32 or bf16 table and (k,) i32
+    indices, as in-VMEM byte-plane one-hot MXU matmuls (2 planes for bf16,
+    4 for f32).  Tables wider than 128 lanes are fetched in 128-lane column
+    groups (each group band-skips independently).  Returns (k, W) in the
+    table dtype where W = w rounded up to 128 (pad lanes zero); callers
+    slice [:, :w].  k is padded to a 512 multiple and m to 128 internally.
+    """
     if not _HAS_PLTPU:
         raise RuntimeError(
             "pallas_row_fetch requires jax.experimental.pallas.tpu "
             "(unavailable in this jaxlib) — use the XLA gather instead"
         )
     m, w = table.shape
-    if w > _W:
-        raise ValueError(f"row width {w} > {_W}")
     k = phys.shape[0]
     mp = -(-m // _RB) * _RB
     kp = -(-k // _SB) * _SB
-    tab = table.astype(jnp.float32)
-    if w < _W or mp > m:
-        tab = jnp.pad(tab, ((0, mp - m), (0, _W - w)))
-    bits = jax.lax.bitcast_convert_type(tab, jnp.int32)
-    planes = byte_planes(bits)  # (mp, 4*_W) s8
+    wp = -(-w // _W) * _W
+    bf16 = table.dtype == jnp.bfloat16
+    nbytes = 2 if bf16 else 4
+    tab = table if bf16 else table.astype(jnp.float32)
+    if wp > w or mp > m:
+        tab = jnp.pad(tab, ((0, mp - m), (0, wp - w)))
+    ibits = jax.lax.bitcast_convert_type(tab, jnp.int16 if bf16 else jnp.int32)
     ph = jnp.clip(phys.astype(jnp.int32), 0, m - 1)
     if kp > k:
         ph = jnp.concatenate([ph, jnp.zeros((kp - k,), jnp.int32)])
@@ -325,12 +331,23 @@ def pallas_row_fetch(table: jax.Array, phys: jax.Array,
     vspec = (
         pl.BlockSpec(memory_space=pltpu.VMEM) if not interpret else pl.BlockSpec()
     )
-    out = pl.pallas_call(
-        functools.partial(_fetch_kernel, k=kp, m=mp),
-        out_shape=jax.ShapeDtypeStruct((kp, _W), jnp.float32),
-        in_specs=[vspec, vspec],
-        out_specs=vspec,
-        scratch_shapes=[pltpu.VMEM((_SB, 4 * _W), jnp.int32)],
-        interpret=interpret,
-    )(ph, planes)
-    return out[:k]
+    cols = []
+    for c in range(0, wp, _W):
+        planes = byte_planes(ibits[:, c:c + _W], nbytes)  # (mp, nbytes*_W) s8
+        out = pl.pallas_call(
+            functools.partial(_fetch_kernel, k=kp, m=mp, nbytes=nbytes),
+            out_shape=jax.ShapeDtypeStruct((kp, _W), jnp.int32),
+            in_specs=[vspec, vspec],
+            out_specs=vspec,
+            scratch_shapes=[pltpu.VMEM((_SB, nbytes * _W), jnp.int32)],
+            interpret=interpret,
+        )(ph, planes)
+        cols.append(out)
+    bits_out = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    if bf16:
+        rows = jax.lax.bitcast_convert_type(
+            bits_out.astype(jnp.uint16).astype(jnp.int16), jnp.bfloat16
+        )
+    else:
+        rows = jax.lax.bitcast_convert_type(bits_out, jnp.float32)
+    return rows[:k]
