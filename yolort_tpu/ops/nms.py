@@ -28,6 +28,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -1322,6 +1324,19 @@ def batched_postprocess_from_heads(
             "cell" if on_tpu and topk_impl == "bisect" and pre_nms_topk >= 2048
             else False
         )
+
+    if flatten_pad == "cell" and os.environ.get("YOLORT_PALLAS_FETCH") == "1":
+        # measurement hook: route all three latency-bound fetches of the
+        # cell path through the in-VMEM byte-plane kernels
+        # (ops/pallas/lookup_kernel.py) without touching call sites.  The
+        # options remain individually selectable; defaults flip here once
+        # the hardware A/B lands.
+        if row_gather == "auto":
+            row_gather = "pallas_full"
+        if box_gather == "auto":
+            box_gather = "pallas"
+        if cell_gather == "auto":
+            cell_gather = "pallas"
 
     if flatten_pad == "cell" and selection == "two_stage" and classes_per_anchor is None:
         cells = jnp.concatenate(
