@@ -95,20 +95,26 @@ def _fetch_kernel(phys_ref, planes_ref, out_ref, acc_ref, *, k: int, m: int,
 
 def _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l, nbytes=4):
     """Shared per-slot-block fetch: (_SB, 1) indices -> (_SB, _W) i32 row
-    bits via band-skipped byte-plane one-hot matmuls."""
+    bits via band-skipped byte-plane one-hot matmuls.  The row-block loop is
+    a fori_loop (not unrolled python) so the kernel's code size stays flat
+    as the table grows — iterating only the blocks inside the slot block's
+    [lo, hi] index band skips the rest entirely."""
     lo = jnp.min(phys)
     hi = jnp.max(phys)
     acc_ref[:, :] = jnp.zeros((_SB, nbytes * _W), jnp.int32)
-    for rb in range(nrb):
 
-        @pl.when((lo < (rb + 1) * _RB) & (hi >= rb * _RB))
-        def _mm(phys=phys, rb=rb):
-            onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
-            blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, nbytes*_W) s8
-            acc_ref[:, :] += jax.lax.dot_general(
-                onehot, blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+    def body(rb, _):
+        onehot = (phys == iota_l + rb * _RB).astype(jnp.int8)  # (_SB, _W)
+        blk = planes_ref[pl.ds(rb * _RB, _RB), :]  # (_RB, nbytes*_W) s8
+        acc_ref[:, :] += jax.lax.dot_general(
+            onehot, blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return 0
+
+    rb0 = jnp.clip(lo // _RB, 0, nrb - 1)
+    rb1 = jnp.clip(hi // _RB + 1, 1, nrb)
+    jax.lax.fori_loop(rb0, rb1, body, 0)
 
     bits = jnp.zeros((_SB, _W), jnp.int32)
     for i in range(nbytes):
