@@ -254,6 +254,8 @@ def main():
                     help="skip the host-fed streaming throughput row")
     ap.add_argument("--skip-train", action="store_true",
                     help="skip the training-throughput row")
+    ap.add_argument("--skip-pallas-eval", action="store_true",
+                    help="skip the pallas-fetch eval A/B row")
     ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--stem-s2d", action="store_true",
                     help="space-to-depth stem rewrite (output-identical)")
@@ -345,6 +347,29 @@ def main():
             run_config(eval_model, params, raw, dtype, plan, args.iters, args.repeat), 2
         )
         result["eval_config"] = f"score0.005 topk{args.eval_topk} exact"
+
+        if not args.skip_pallas_eval:
+            # A/B row: the same exact eval config with the cell path's three
+            # latency-bound fetches routed through the in-VMEM byte-plane
+            # kernels (ops/pallas/lookup_kernel.py, bit-exact, env hook).
+            # Guarded: a Mosaic lowering failure reports instead of
+            # crashing the bench.
+            import os as _os
+
+            import traceback as _tb
+
+            try:
+                _os.environ["YOLORT_PALLAS_FETCH"] = "1"
+                result["eval_pallas_imgs_per_sec"] = round(
+                    run_config(eval_model, params, raw, dtype, plan,
+                               args.iters, args.repeat), 2
+                )
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                result["eval_pallas_error"] = (
+                    f"{type(e).__name__}: {str(e)[:200]}"
+                )
+            finally:
+                _os.environ.pop("YOLORT_PALLAS_FETCH", None)
 
     if not args.skip_int8:
         # int8-compute serving config (MXU s8 path + int8 inter-conv
