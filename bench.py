@@ -358,8 +358,23 @@ def main():
 
             import traceback as _tb
 
+            def _eval_once(params, raw_u8):
+                imgs = raw_u8.astype(dtype) * (1.0 / 255.0)
+                det = eval_model(params, letterbox_batch(imgs, plan))
+                return det.boxes, det.scores, det.labels, det.num
+
             try:
+                ref_det = [np.asarray(x) for x in jax.jit(_eval_once)(params, raw)]
                 _os.environ["YOLORT_PALLAS_FETCH"] = "1"
+
+                def _eval_pallas(params, raw_u8):
+                    # distinct function object -> fresh trace under the env hook
+                    return _eval_once(params, raw_u8)
+
+                pal_det = [np.asarray(x) for x in jax.jit(_eval_pallas)(params, raw)]
+                for a, b in zip(ref_det, pal_det):
+                    np.testing.assert_array_equal(a, b)
+                result["eval_pallas_parity"] = "bit-identical"
                 result["eval_pallas_imgs_per_sec"] = round(
                     run_config(eval_model, params, raw, dtype, plan,
                                args.iters, args.repeat), 2
