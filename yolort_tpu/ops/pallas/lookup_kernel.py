@@ -142,10 +142,14 @@ def _select_kernel(meta_ref, planes_ref, t_ref, out_ref, acc_ref,
     ).astype(jnp.bfloat16)  # inclusive-cumsum-as-matmul (counts <= 128: exact)
     t = t_ref[0, 0]
 
+    iota_8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     for sb in range(k // _SB):
-        phys = meta_ref[pl.ds(sb * _SB, _SB), 0:1]  # (_SB, 1) i32
-        p = meta_ref[pl.ds(sb * _SB, _SB), 1:2]
-        is_eq = meta_ref[pl.ds(sb * _SB, _SB), 2:3] > 0
+        blk = meta_ref[pl.ds(sb * _SB, _SB), :]  # (_SB, 8) i32
+        # field extraction by masked lane-reduce (single-lane slices at
+        # offsets 1/2 are relayout-hostile in Mosaic; a reduce is not)
+        phys = jnp.sum(jnp.where(iota_8 == 0, blk, 0), axis=1, keepdims=True)
+        p = jnp.sum(jnp.where(iota_8 == 1, blk, 0), axis=1, keepdims=True)
+        is_eq = jnp.sum(jnp.where(iota_8 == 2, blk, 0), axis=1, keepdims=True) > 0
         bits = _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l)
         rows_v = jax.lax.bitcast_convert_type(bits, jnp.float32)
         rows_valid = bits > thr_bits
