@@ -52,7 +52,16 @@ def main():
                     help="jax platform override (e.g. cpu); the env-pinned "
                          "JAX_PLATFORMS can only be overridden via "
                          "jax.config AFTER import (axon sitecustomize)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route the cells-path fetches through the in-VMEM "
+                         "kernels (YOLORT_PALLAS_FETCH hook) for the "
+                         "'cells' stages")
     args = ap.parse_args()
+
+    if args.pallas:
+        import os
+
+        os.environ["YOLORT_PALLAS_FETCH"] = "1"
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
@@ -129,8 +138,18 @@ def profile_cells(args, model, params, x):
     (flatten_pad='cell' — the auto path for topk >= 2048 on TPU): cells
     concat + segmented stage-1, sort-select, cell-row gather, segment
     extract + box decode, stage-2 pair select, box gather, NMS+compact.
-    Differences between consecutive rows are the per-stage costs."""
+    Differences between consecutive rows are the per-stage costs.
+
+    With YOLORT_PALLAS_FETCH=1 (--pallas) the cell-row fetch, stage-2
+    select, and box fetch run through the in-VMEM kernels."""
+    import os as _os
     from functools import partial
+
+    _pal = _os.environ.get("YOLORT_PALLAS_FETCH") == "1"
+    _rg = "pallas_full" if _pal else "auto"
+    if _pal:
+        from yolort_tpu.ops.pallas.lookup_kernel import pallas_fetch_mode
+        _interp = pallas_fetch_mode() == "interpret"
 
     from yolort_tpu.models.head import (
         PAD_LOGIT,
@@ -178,6 +197,10 @@ def profile_cells(args, model, params, x):
         pa = stage1_scores(cells)
         def one(f, c):
             ok, a_sel = select_topk_indices(f, k1)
+            if _pal:
+                from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+                return ok, a_sel, pallas_row_fetch(
+                    c, a_sel // A, interpret=_interp)[:, : A * kw]
             return ok, a_sel, c[a_sel // A]
         return jax.vmap(one)(pa.astype(jnp.float32), cells)
 
@@ -220,7 +243,8 @@ def profile_cells(args, model, params, x):
     def p_sel(hs):
         scores, bx = mk_sel(hs)
         def one(sc):
-            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh)
+            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh,
+                                         row_gather=_rg)
             return jnp.sum(v) + jnp.sum(i)
         return jnp.sum(jax.vmap(one)(scores)) + jnp.sum(bx)
     timed(p_sel, heads, label="+ stage-2 pair select")
@@ -228,9 +252,14 @@ def profile_cells(args, model, params, x):
     def p_full(hs):
         scores, bx = mk_sel(hs)
         def one(sc, b):
-            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh)
+            v, i = select_topk_threshold(sc.reshape(-1), k, score_thresh,
+                                         row_gather=_rg)
             labels = (i % nc).astype(jnp.int32)
-            cb = b[i // nc]
+            if _pal:
+                from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
+                cb = pallas_row_fetch(b, i // nc, interpret=_interp)[:, :4]
+            else:
+                cb = b[i // nc]
             valid = v > score_thresh
             mx = jnp.max(jnp.where(valid[:, None], cb, 0.0))
             ob = cb + (labels.astype(cb.dtype) * (mx + 1.0))[:, None]
