@@ -356,13 +356,16 @@ def main():
             # crashing the bench.
             import os as _os
 
-            import traceback as _tb
-
             def _eval_once(params, raw_u8):
                 imgs = raw_u8.astype(dtype) * (1.0 / 255.0)
                 det = eval_model(params, letterbox_batch(imgs, plan))
                 return det.boxes, det.scores, det.labels, det.num
 
+            prior_hook = _os.environ.pop("YOLORT_PALLAS_FETCH", None)
+            if prior_hook is not None:
+                # the baseline eval row above was measured with the hook on;
+                # flag it so the A/B delta is not misread
+                result["eval_pallas_note"] = "YOLORT_PALLAS_FETCH was pre-set"
             try:
                 ref_det = [np.asarray(x) for x in jax.jit(_eval_once)(params, raw)]
                 _os.environ["YOLORT_PALLAS_FETCH"] = "1"
@@ -385,6 +388,8 @@ def main():
                 )
             finally:
                 _os.environ.pop("YOLORT_PALLAS_FETCH", None)
+                if prior_hook is not None:
+                    _os.environ["YOLORT_PALLAS_FETCH"] = prior_hook
 
     if not args.skip_int8:
         # int8-compute serving config (MXU s8 path + int8 inter-conv

@@ -146,10 +146,18 @@ def profile_cells(args, model, params, x):
     from functools import partial
 
     _pal = _os.environ.get("YOLORT_PALLAS_FETCH") == "1"
-    _rg = "pallas_full" if _pal else "auto"
+    _interp = False
     if _pal:
         from yolort_tpu.ops.pallas.lookup_kernel import pallas_fetch_mode
-        _interp = pallas_fetch_mode() == "interpret"
+
+        _mode = pallas_fetch_mode()
+        if _mode is None:
+            print("pallas kernels unavailable on this backend; "
+                  "profiling the XLA path", flush=True)
+            _pal = False
+        else:
+            _interp = _mode == "interpret"
+    _rg = "pallas_full" if _pal else "auto"
 
     from yolort_tpu.models.head import (
         PAD_LOGIT,

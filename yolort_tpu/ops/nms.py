@@ -414,6 +414,13 @@ def select_topk_threshold(
             )
 
     pallas_full = False
+    static_thr_bits = None
+    if row_gather in ("pallas_full", "pallas_select") and flat.dtype != jnp.bfloat16:
+        # python-level threshold bits for the pallas kernels (score_thresh
+        # is a static float; one computation shared by both kernel stages)
+        import numpy as _np
+
+        static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
     if row_gather == "pallas_full" and flat.dtype != jnp.bfloat16 and w == 128:
         # fully in-VMEM bisect + chunk counts (lookup_kernel.py): the XLA
         # path re-streams the flat domain from HBM for every counting pass
@@ -428,9 +435,6 @@ def select_topk_threshold(
 
         _mode = pallas_fetch_mode()
         if _mode is not None:
-            import numpy as _np
-
-            static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
             t, cg, ce = pallas_bisect_count(
                 flat.reshape(nc_chunks, w), k, static_thr_bits,
                 interpret=_mode == "interpret",
@@ -561,10 +565,7 @@ def select_topk_threshold(
         mode = pallas_fetch_mode()
         if mode is None:
             rows_v = flat.reshape(nc_chunks, w)[phys]
-        elif row_gather == "pallas_select" and w == 128:
-            import numpy as _np
-
-            static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
+        elif row_gather == "pallas_select" and w == 128 and static_thr_bits is not None:
             vals, lane = pallas_select_extract(
                 flat.reshape(nc_chunks, w), phys, p, is_eq_tier, t,
                 thr_bits=static_thr_bits, interpret=mode == "interpret",

@@ -181,8 +181,9 @@ def _bisect_count_kernel(bits_ref, t_ref, cnt_ref, *, k: int, thr_bits: int,
     to ops.nms._bisect_kth_bits — the invariant count(>=lo) >= k >
     count(>=hi) has a unique fixed point, so the arity/pass count only
     affects speed, and arms**passes >= 2**31 guarantees convergence).
-    cnt (m, 8) f32 out: col 0 = per-chunk count of bits >= t+1 (gt tier),
-    col 1 = count of bits == t (eq tier); counts <= 128 are exact in f32.
+    cnt (m, _W) f32 out: col 0 = per-chunk count of bits >= t+1 (gt tier),
+    col 1 = count of bits == t (eq tier), cols 2+ zero (the full-lane row
+    write is the Mosaic-friendly shape); counts <= 128 are exact in f32.
 
     Why in-kernel: XLA's fused 15-accumulator counting stream re-reads the
     flat domain from HBM every pass (measured 5.1 ms at the eval config)
