@@ -251,3 +251,45 @@ def test_cell_path_with_pallas_cell_gather_matches_default():
     )
     for fa, fb, name in zip(a, b, a._fields):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
+
+
+def test_kernels_lower_for_tpu_platform():
+    """jax.export with platforms=['tpu'] runs the full Pallas->Mosaic MLIR
+    lowering (where unsupported-op errors fire) without needing a device —
+    guards the kernels' TPU lowerability from a CPU test runner."""
+    from functools import partial
+
+    from jax import export as jexport
+
+    from yolort_tpu.ops.pallas.lookup_kernel import (
+        pallas_bisect_count,
+        pallas_row_fetch,
+        pallas_select_extract,
+    )
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.standard_normal((2565, 128)).astype(np.float32))
+    phys = jnp.asarray(rng.integers(0, 2565, (4096,), dtype=np.int32))
+    p = jnp.asarray(rng.integers(0, 128, (4096,), dtype=np.int32))
+    eq = jnp.asarray(rng.integers(0, 2, (4096,), dtype=np.int32)).astype(bool)
+    t = jnp.asarray(1_000_000, jnp.int32)
+    tabc = jnp.asarray(
+        rng.standard_normal((8400, 255)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    pc = jnp.asarray(rng.integers(0, 8400, (4104,), dtype=np.int32))
+
+    cases = [
+        ("row_fetch_f32", lambda a, b: pallas_row_fetch(a, b), (tab, phys)),
+        ("select_extract",
+         lambda a, b, c, d, e: pallas_select_extract(a, b, c, d, e,
+                                                     thr_bits=998277249),
+         (tab, phys, p, eq, t)),
+        ("bisect_count", lambda a: pallas_bisect_count(a, k=4096,
+                                                       thr_bits=998277249),
+         (tab,)),
+        ("row_fetch_bf16_wide", lambda a, b: pallas_row_fetch(a, b),
+         (tabc, pc)),
+    ]
+    for name, fn, args in cases:
+        exp = jexport.export(jax.jit(fn), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module()) > 1000, name
