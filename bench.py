@@ -280,6 +280,27 @@ def main():
     from yolort_tpu.models.yolo import build_yolo
     from yolort_tpu.utils import cast_floating
 
+    # device reachability probe under a hard timeout: a wedged relay
+    # otherwise hangs the bench forever at the first device op (observed:
+    # the axon tunnel can die mid-session and every client then blocks in
+    # PJRT init).  Emit a diagnosable JSON line instead.
+    import signal
+
+    def _probe_timeout(signum, frame):  # pragma: no cover - env-dependent
+        print(json.dumps({
+            "metric": "bench aborted: device unreachable",
+            "value": 0, "unit": "imgs/sec", "vs_baseline": 0.0,
+            "error": "device probe timed out after 900s (relay down?)",
+        }))
+        sys.exit(1)
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _probe_timeout)
+        signal.alarm(900)
+    float(jnp.sum(jnp.ones((8, 8))))
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_yolo(
         args.arch, score_thresh=0.25, pre_nms_topk=args.pre_nms_topk, nms_impl=args.nms_impl
