@@ -370,11 +370,13 @@ def main():
         result["eval_config"] = f"score0.005 topk{args.eval_topk} exact"
 
         if not args.skip_pallas_eval:
-            # A/B row: the same exact eval config with the cell path's three
-            # latency-bound fetches routed through the in-VMEM byte-plane
-            # kernels (ops/pallas/lookup_kernel.py, bit-exact, env hook).
-            # Guarded: a Mosaic lowering failure reports instead of
-            # crashing the bench.
+            # A/B row: the exact eval row above runs the default path (on
+            # TPU that is the in-VMEM bisect+fetch hybrid, row_gather=
+            # 'pallas_bisect', v5e-measured best); this row re-measures with
+            # every fetch forced to the XLA path (YOLORT_PALLAS_FETCH=0) so
+            # the kernel delta stays visible, with a one-batch bit-parity
+            # gate between the two programs.  Guarded: a failure reports
+            # instead of crashing the bench.
             import os as _os
 
             def _eval_once(params, raw_u8):
@@ -384,22 +386,22 @@ def main():
 
             prior_hook = _os.environ.pop("YOLORT_PALLAS_FETCH", None)
             if prior_hook is not None:
-                # the baseline eval row above was measured with the hook on;
+                # the baseline eval row above was measured with the hook set;
                 # flag it so the A/B delta is not misread
                 result["eval_pallas_note"] = "YOLORT_PALLAS_FETCH was pre-set"
             try:
                 ref_det = [np.asarray(x) for x in jax.jit(_eval_once)(params, raw)]
-                _os.environ["YOLORT_PALLAS_FETCH"] = "1"
+                _os.environ["YOLORT_PALLAS_FETCH"] = "0"
 
-                def _eval_pallas(params, raw_u8):
+                def _eval_xla(params, raw_u8):
                     # distinct function object -> fresh trace under the env hook
                     return _eval_once(params, raw_u8)
 
-                pal_det = [np.asarray(x) for x in jax.jit(_eval_pallas)(params, raw)]
-                for a, b in zip(ref_det, pal_det):
+                xla_det = [np.asarray(x) for x in jax.jit(_eval_xla)(params, raw)]
+                for a, b in zip(ref_det, xla_det):
                     np.testing.assert_array_equal(a, b)
                 result["eval_pallas_parity"] = "bit-identical"
-                result["eval_pallas_imgs_per_sec"] = round(
+                result["eval_xla_imgs_per_sec"] = round(
                     run_config(eval_model, params, raw, dtype, plan,
                                args.iters, args.repeat), 2
                 )

@@ -109,6 +109,11 @@ for label, extra in [
     ("e2e cells + pallas_full+box", dict(flatten_pad="cell",
                                          row_gather="pallas_full",
                                          box_gather="pallas")),
+    ("e2e cells + pallas_bisect (hybrid)", dict(flatten_pad="cell",
+                                                row_gather="pallas_bisect")),
+    ("e2e cells + pallas_bisect+box", dict(flatten_pad="cell",
+                                           row_gather="pallas_bisect",
+                                           box_gather="pallas")),
     ("e2e cells + pallas cellfetch", dict(flatten_pad="cell",
                                           cell_gather="pallas")),
     ("e2e cells + ALL pallas", dict(flatten_pad="cell",
@@ -118,14 +123,19 @@ for label, extra in [
 ]:
     f = jax.jit(partial(batched_postprocess_from_heads, strides=strides,
                         anchor_grids=anchor_grids, **kw, **extra))
-    t0 = time.perf_counter()
-    r = f(heads); np.asarray(r.num)
-    comp = time.perf_counter() - t0
-    ts = []
-    for _ in range(6):
+    try:
         t0 = time.perf_counter()
         r = f(heads); np.asarray(r.num)
-        ts.append(time.perf_counter() - t0)
+        comp = time.perf_counter() - t0
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            r = f(heads); np.asarray(r.num)
+            ts.append(time.perf_counter() - t0)
+    except Exception as e:  # keep measuring the remaining configs
+        print(f"{label:52s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        continue
     print(f"{label:52s} {max(min(ts)-_RTT,0)*1000:8.2f} ms (compile {comp:.0f}s)",
           flush=True)
     res[label] = r

@@ -141,23 +141,28 @@ def profile_cells(args, model, params, x):
     Differences between consecutive rows are the per-stage costs.
 
     With YOLORT_PALLAS_FETCH=1 (--pallas) the cell-row fetch, stage-2
-    select, and box fetch run through the in-VMEM kernels."""
+    select, and box fetch run through the in-VMEM kernels; the default
+    rows use row_gather='pallas_bisect' (the shipping TPU hybrid) on
+    backends the kernels can serve and the XLA path elsewhere."""
     import os as _os
     from functools import partial
 
+    from yolort_tpu.ops.pallas.lookup_kernel import pallas_fetch_mode
+
     _pal = _os.environ.get("YOLORT_PALLAS_FETCH") == "1"
     _interp = False
+    _mode = pallas_fetch_mode()
+    if _pal and _mode is None:
+        print("pallas kernels unavailable on this backend; "
+              "profiling the XLA path", flush=True)
+        _pal = False
+    _interp = _mode == "interpret"
     if _pal:
-        from yolort_tpu.ops.pallas.lookup_kernel import pallas_fetch_mode
-
-        _mode = pallas_fetch_mode()
-        if _mode is None:
-            print("pallas kernels unavailable on this backend; "
-                  "profiling the XLA path", flush=True)
-            _pal = False
-        else:
-            _interp = _mode == "interpret"
-    _rg = "pallas_full" if _pal else "auto"
+        _rg = "pallas_full"
+    elif _mode is not None and jax.default_backend() not in ("cpu",):
+        _rg = "pallas_bisect"  # the shipping TPU default (v5e A/B winner)
+    else:
+        _rg = "auto"
 
     from yolort_tpu.models.head import (
         PAD_LOGIT,

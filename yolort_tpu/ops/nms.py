@@ -415,13 +415,20 @@ def select_topk_threshold(
 
     pallas_full = False
     static_thr_bits = None
-    if row_gather in ("pallas_full", "pallas_select") and flat.dtype != jnp.bfloat16:
+    if (
+        row_gather in ("pallas_full", "pallas_select", "pallas_bisect")
+        and flat.dtype != jnp.bfloat16
+    ):
         # python-level threshold bits for the pallas kernels (score_thresh
         # is a static float; one computation shared by both kernel stages)
         import numpy as _np
 
         static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
-    if row_gather == "pallas_full" and flat.dtype != jnp.bfloat16 and w == 128:
+    if (
+        row_gather in ("pallas_full", "pallas_bisect")
+        and flat.dtype != jnp.bfloat16
+        and w == 128
+    ):
         # fully in-VMEM bisect + chunk counts (lookup_kernel.py): the XLA
         # path re-streams the flat domain from HBM for every counting pass
         # (~5.1 ms) and again for the tier chunk counts (~3.3 ms); the
@@ -442,7 +449,12 @@ def select_topk_threshold(
             thr_bits = jnp.asarray(static_thr_bits, jnp.int32)
             cnt = jnp.concatenate([cg, ce])
             pallas_full = True
-        row_gather = "pallas_select"
+        # 'pallas_full' chains into the in-kernel extraction; 'pallas_bisect'
+        # is the measured-best hybrid on v5e: in-VMEM bisect+counts (saves
+        # the ~3.6 ms XLA counting streams) + plain pallas row fetch with
+        # the XLA extraction tail (the in-kernel extract tail measured
+        # SLOWER than the XLA tail: 52.9 vs 47.7 ms e2e postprocess)
+        row_gather = "pallas_select" if row_gather == "pallas_full" else "pallas"
 
     if pallas_full:
         pass
@@ -1326,18 +1338,31 @@ def batched_postprocess_from_heads(
             else False
         )
 
-    if flatten_pad == "cell" and os.environ.get("YOLORT_PALLAS_FETCH") == "1":
-        # measurement hook: route all three latency-bound fetches of the
-        # cell path through the in-VMEM byte-plane kernels
-        # (ops/pallas/lookup_kernel.py) without touching call sites.  The
-        # options remain individually selectable; defaults flip here once
-        # the hardware A/B lands.
-        if row_gather == "auto":
-            row_gather = "pallas_full"
-        if box_gather == "auto":
-            box_gather = "pallas"
-        if cell_gather == "auto":
-            cell_gather = "pallas"
+    if flatten_pad == "cell":
+        if os.environ.get("YOLORT_PALLAS_FETCH") == "1":
+            # measurement hook: route all three latency-bound fetches of the
+            # cell path through the in-VMEM byte-plane kernels
+            # (ops/pallas/lookup_kernel.py) without touching call sites
+            if row_gather == "auto":
+                row_gather = "pallas_full"
+            if box_gather == "auto":
+                box_gather = "pallas"
+            if cell_gather == "auto":
+                cell_gather = "pallas"
+        elif os.environ.get("YOLORT_PALLAS_FETCH") == "0":
+            # force-off hook (bench A/B): pin every fetch to the XLA path
+            if row_gather == "auto":
+                row_gather = "xla"
+        elif row_gather == "auto" and on_tpu:
+            # v5e hardware A/B (tools/experiments/ab_lookup.py, eval config,
+            # batch 128, all paths bit-identical): postprocess 41.7 ms with
+            # the hybrid (in-VMEM 4-ary bisect + chunk counts, pallas row
+            # fetch, XLA extraction tail) vs 48.7 XLA / 45.3 pallas fetch
+            # alone / 47.0 pallas_full / 49.6 pallas_select; the box (w=4:
+            # one-hot matmul work dwarfs the 3-5 ms gather) and cells
+            # (byte-plane table exceeds the 16 MB scoped-VMEM limit) kernel
+            # fetches lose and stay XLA.
+            row_gather = "pallas_bisect"
 
     if flatten_pad == "cell" and selection == "two_stage" and classes_per_anchor is None:
         cells = jnp.concatenate(

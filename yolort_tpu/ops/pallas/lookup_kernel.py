@@ -149,11 +149,17 @@ def _select_kernel(meta_ref, planes_ref, t_ref, out_ref, acc_ref,
         # offsets 1/2 are relayout-hostile in Mosaic; a reduce is not)
         phys = jnp.sum(jnp.where(iota_8 == 0, blk, 0), axis=1, keepdims=True)
         p = jnp.sum(jnp.where(iota_8 == 1, blk, 0), axis=1, keepdims=True)
-        is_eq = jnp.sum(jnp.where(iota_8 == 2, blk, 0), axis=1, keepdims=True) > 0
+        is_eq = jnp.sum(jnp.where(iota_8 == 2, blk, 0), axis=1, keepdims=True)
         bits = _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l)
         rows_v = jax.lax.bitcast_convert_type(bits, jnp.float32)
         rows_valid = bits > thr_bits
-        rows_m = rows_valid & jnp.where(is_eq, bits == t, bits >= t + 1)
+        # tier select in i32 arithmetic: a select producing an i1 vector
+        # lowers to an arith.trunci i8->i1 Mosaic rejects on hardware
+        # (is_eq is 0/1 from the meta i32 column)
+        tier = is_eq * (bits == t).astype(jnp.int32) + (1 - is_eq) * (
+            bits >= t + 1
+        ).astype(jnp.int32)
+        rows_m = rows_valid & (tier > 0)
         incl = jax.lax.dot_general(
             rows_m.astype(jnp.bfloat16), tri,
             (((1,), (0,)), ((), ())),
