@@ -95,7 +95,10 @@ kw = dict(num_classes=nc, score_thresh=0.005, nms_thresh=0.45,
 
 res = {}
 for label, extra in [
-    ("e2e cells + xla gathers", dict(flatten_pad="cell")),
+    # row_gather pinned to 'xla' explicitly: the shipping auto default is
+    # now 'pallas_bisect' on TPU, which would silently turn this baseline
+    # into the kernel hybrid and collapse the headline delta (advisor r3)
+    ("e2e cells + xla gathers", dict(flatten_pad="cell", row_gather="xla")),
     ("e2e cells + pallas row_gather", dict(flatten_pad="cell", row_gather="pallas")),
     ("e2e cells + pallas row+box", dict(flatten_pad="cell", row_gather="pallas",
                                         box_gather="pallas")),
@@ -115,6 +118,7 @@ for label, extra in [
                                            row_gather="pallas_bisect",
                                            box_gather="pallas")),
     ("e2e cells + pallas cellfetch", dict(flatten_pad="cell",
+                                          row_gather="xla",
                                           cell_gather="pallas")),
     ("e2e cells + ALL pallas", dict(flatten_pad="cell",
                                     row_gather="pallas_full",
@@ -140,9 +144,12 @@ for label, extra in [
           flush=True)
     res[label] = r
 
-ref = res["e2e cells + xla gathers"]
-for label, r in res.items():
-    for fa, fb, name in zip(r, ref, r._fields):
-        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb),
-                                      err_msg=f"{label}:{name}")
-print("e2e parity: bit-identical on hardware", flush=True)
+ref = res.get("e2e cells + xla gathers")
+if ref is None:
+    print("baseline config failed; skipping the parity check", flush=True)
+else:
+    for label, r in res.items():
+        for fa, fb, name in zip(r, ref, r._fields):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb),
+                                          err_msg=f"{label}:{name}")
+    print("e2e parity: bit-identical on hardware", flush=True)

@@ -150,7 +150,6 @@ def profile_cells(args, model, params, x):
     from yolort_tpu.ops.pallas.lookup_kernel import pallas_fetch_mode
 
     _pal = _os.environ.get("YOLORT_PALLAS_FETCH") == "1"
-    _interp = False
     _mode = pallas_fetch_mode()
     if _pal and _mode is None:
         print("pallas kernels unavailable on this backend; "

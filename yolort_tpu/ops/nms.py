@@ -1353,7 +1353,10 @@ def batched_postprocess_from_heads(
             # force-off hook (bench A/B): pin every fetch to the XLA path
             if row_gather == "auto":
                 row_gather = "xla"
-        elif row_gather == "auto" and on_tpu:
+        elif row_gather == "auto" and jax.default_backend() in ("tpu", "axon"):
+            # gate on an actual TPU backend, not not-CPU: on GPU/ROCm the
+            # kernels can't compile and correctness would hinge on the
+            # pallas_fetch_mode()->None fallback (advisor r3)
             # v5e hardware A/B (tools/experiments/ab_lookup.py, eval config,
             # batch 128, all paths bit-identical): postprocess 41.7 ms with
             # the hybrid (in-VMEM 4-ary bisect + chunk counts, pallas row
