@@ -118,12 +118,14 @@ def run_config(model, params, raw, dtype, plan, iters, repeat):
 def run_latency(model, params, raw, dtype, plan, calls=100):
     """Per-invocation e2e latency percentiles (p50/p99, ms).
 
-    Through the axon relay every call pays a device->host fetch RTT; the
-    median trivial-fetch RTT is subtracted from every sample (RTT jitter
-    therefore still inflates p99 — treat p99 as an upper bound here; on a
-    directly-attached chip the same code reports true percentiles).
-    ``calls`` defaults to 100 so p99 is the 99th of 100 nearest-rank
-    samples, not the max of 30 (VERDICT r3 weak #8)."""
+    Headline percentiles are over the RAW wall-clock samples (what a caller
+    actually waits).  Through the axon relay every call pays a device->host
+    fetch RTT, so the median trivial-fetch RTT is reported alongside and the
+    ``*_adj`` values subtract it from the percentile (the directly-attached-
+    chip estimate); subtracting per-sample and clamping at 0 turned the tiny
+    CPU smoke config into a 0.0 ms row.  ``calls`` defaults to 100 so p99 is
+    the 99th of 100 nearest-rank samples, not the max of 30 (VERDICT r3
+    weak #8)."""
     import jax
     import jax.numpy as jnp
 
@@ -148,12 +150,12 @@ def run_latency(model, params, raw, dtype, plan, calls=100):
     for _ in range(calls):
         t0 = time.perf_counter()
         int(fn(params, raw))
-        samples.append(max(time.perf_counter() - t0 - rtt, 0.0))
+        samples.append(time.perf_counter() - t0)
     samples.sort()
     p50 = samples[len(samples) // 2] * 1000.0
     # nearest-rank on n-1 so p99-of-100 is the 99th sample, not the max
     p99 = samples[min(len(samples) - 1, int(0.99 * (len(samples) - 1) + 0.5))] * 1000.0
-    return round(p50, 3), round(p99, 3)
+    return round(p50, 3), round(p99, 3), round(rtt * 1000.0, 3)
 
 
 def run_streaming(model, params, size, dtype, batch: int, n_batches: int = 8):
@@ -373,14 +375,20 @@ def main():
             # configs under their intended conditions)
             def lat_rows():
                 for lb in (1, 8):
-                    p50, p99 = run_latency(model, params, raw[:lb], dtype,
-                                           plan, calls=args.latency_calls)
+                    p50, p99, rtt_ms = run_latency(
+                        model, params, raw[:lb], dtype, plan,
+                        calls=args.latency_calls)
                     result[f"p50_ms_b{lb}"] = p50
                     result[f"p99_ms_b{lb}"] = p99
+                    result[f"p50_ms_b{lb}_adj"] = round(max(p50 - rtt_ms, 0.0), 3)
+                    result[f"p99_ms_b{lb}_adj"] = round(max(p99 - rtt_ms, 0.0), 3)
+                    result[f"latency_rtt_ms_b{lb}"] = rtt_ms
                 result["latency_calls"] = args.latency_calls
                 result["latency_note"] = (
-                    "median trivial-fetch RTT subtracted per sample; through "
-                    "a relay, RTT jitter still inflates p99 (upper bound)")
+                    "p50/p99 are raw wall-clock; *_adj subtracts the median "
+                    "trivial-fetch RTT (relay overhead) from the percentile — "
+                    "the directly-attached-chip estimate; relay RTT jitter "
+                    "still inflates the raw p99 (upper bound)")
             guard("latency", lat_rows)
 
         serving = guard("serving", lambda: run_config(
