@@ -140,7 +140,7 @@ def test_cell_path_with_pallas_select_matches_default():
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb), err_msg=name)
 
 
-@pytest.mark.parametrize("mode", ["pallas_full", "pallas_bisect"])
+@pytest.mark.parametrize("mode", ["pallas_full", "pallas_bisect", "pallas_lookup"])
 @pytest.mark.parametrize("case", ["random", "ties", "few", "empty"])
 def test_pallas_full_matches_default(case, mode):
     """row_gather='pallas_full' (in-kernel 4-ary bisect + chunk counts +
@@ -169,7 +169,7 @@ def test_pallas_full_matches_default(case, mode):
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
 
 
-@pytest.mark.parametrize("mode", ["pallas_full", "pallas_bisect"])
+@pytest.mark.parametrize("mode", ["pallas_full", "pallas_bisect", "pallas_lookup"])
 def test_cell_path_with_pallas_full_matches_default(mode):
     from yolort_tpu.ops.nms import batched_postprocess_from_heads
 
@@ -270,12 +270,15 @@ def test_kernels_lower_for_tpu_platform():
 
     from yolort_tpu.ops.pallas.lookup_kernel import (
         pallas_bisect_count,
+        pallas_lookup_fetch,
         pallas_row_fetch,
         pallas_select_extract,
     )
 
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.standard_normal((2565, 128)).astype(np.float32))
+    _c2 = rng.integers(0, 3, (2 * 2565,), dtype=np.int32)
+    off2 = jnp.asarray(np.cumsum(_c2) - _c2, dtype=jnp.int32)
     phys = jnp.asarray(rng.integers(0, 2565, (4096,), dtype=np.int32))
     p = jnp.asarray(rng.integers(0, 128, (4096,), dtype=np.int32))
     eq = jnp.asarray(rng.integers(0, 2, (4096,), dtype=np.int32)).astype(bool)
@@ -296,6 +299,8 @@ def test_kernels_lower_for_tpu_platform():
          (tab,)),
         ("row_fetch_bf16_wide", lambda a, b: pallas_row_fetch(a, b),
          (tabc, pc)),
+        ("lookup_fetch", lambda a, b: pallas_lookup_fetch(a, b, k=4096),
+         (tab, off2)),
     ]
     for name, fn, args in cases:
         exp = jexport.export(jax.jit(fn), platforms=["tpu"])(*args)

@@ -114,6 +114,8 @@ for label, extra in [
                                          box_gather="pallas")),
     ("e2e cells + pallas_bisect (hybrid)", dict(flatten_pad="cell",
                                                 row_gather="pallas_bisect")),
+    ("e2e cells + pallas_lookup (fused)", dict(flatten_pad="cell",
+                                               row_gather="pallas_lookup")),
     ("e2e cells + pallas_bisect+box", dict(flatten_pad="cell",
                                            row_gather="pallas_bisect",
                                            box_gather="pallas")),

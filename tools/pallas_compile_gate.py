@@ -42,6 +42,7 @@ def build_cases():
     from yolort_tpu.ops.pallas.compact_kernel import compact_select
     from yolort_tpu.ops.pallas.lookup_kernel import (
         pallas_bisect_count,
+        pallas_lookup_fetch,
         pallas_row_fetch,
         pallas_select_extract,
     )
@@ -64,6 +65,9 @@ def build_cases():
     # serving-size chunk table (k=512 select @ score 0.25)
     tab_s = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
     phys_s = jnp.asarray(rng.integers(0, 512, (512,), dtype=np.int32))
+    # monotone exclusive tier offsets for the fused lookup+fetch kernel
+    _cnt2 = rng.integers(0, 3, (2 * 2565,), dtype=np.int32)
+    off2 = jnp.asarray(np.cumsum(_cnt2) - _cnt2, dtype=jnp.int32)
 
     # NMS kernel inputs: score-sorted class-offset boxes
     def boxes_valid(k):
@@ -111,6 +115,8 @@ def build_cases():
          lambda a, b, c, d, e: pallas_select_extract(a, b, c, d, e,
                                                      thr_bits=thr),
          (tab, phys, p, eq, t)),
+        ("lookup_fetch", True,
+         lambda a, b: pallas_lookup_fetch(a, b, k=4096), (tab, off2)),
         # --- experimental / measured-negative (in-tree, off by default) ---
         ("compact_select", False,
          lambda a: compact_select(a, 4096, 0.005), (flat,)),

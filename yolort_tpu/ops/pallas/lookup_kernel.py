@@ -123,6 +123,133 @@ def _fetch_block_bits(phys, planes_ref, acc_ref, nrb, iota_l, nbytes=4):
     return bits
 
 
+def _lookup_fetch_kernel(offplanes_ref, rowmax_ref, planes_ref, out_ref,
+                         meta_ref, acc_ref, *, k: int, m: int, m2: int,
+                         nc: int):
+    """Slot->chunk lookup + band-skipped row fetch, fully in VMEM.
+
+    Replaces the XLA-side merge-by-sort slot->chunk lookup (two ~9k sorts
+    per image, ~4.9 ms at the eval config) AND the chunk-row gather.  For
+    each output slot s the containing chunk is the last offset <= s over
+    the monotone ``off`` table; because off is globally nondecreasing, an
+    off row whose max is <= s contributes all 128 entries, and exactly ONE
+    row (the "boundary row" br = number of full rows) can contribute
+    partially.  The count is therefore one dense compare against the
+    per-row maxima plus a compare against each slot's own boundary row —
+    fetched with the same in-register one-hot machinery as the table rows
+    (the off table is a single row-block).  Two slower designs are
+    recorded in docs/PERF.md: a fori over off rows with dynamic sublane
+    slices (88 ms) and a statically-unrolled pl.when visit loop (41 scalar
+    branch regions: ~21 ms — Mosaic pays ~0.5 us per region even when the
+    predicate skips).
+
+    offplanes (_RB, 4*_W) s8: byte planes of the off table rows (off
+    reshaped (m2p//_W, _W), padded with 2^30 rows up to _RB).
+    rowmax (1, _W) i32: per-off-row maxima (lanes past the row count are
+    2^30).  planes (m, 4*_W) s8: byte-plane table of the nc PHYSICAL chunk
+    rows.  out (k, _W) i32: fetched row bit patterns.  meta (k, _W) i32:
+    lane 0 = phys (physical chunk row), lane 1 = p (within-chunk rank),
+    lane 2 = is_eq tier flag — the XLA extraction tail's inputs."""
+    nrb = m // _RB
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+    rowmax = rowmax_ref[:, :]  # (1, _W); lanes >= n_off_rows are 2^30
+
+    for sb in range(k // _SB):
+        s = sb * _SB + jax.lax.broadcasted_iota(jnp.int32, (_SB, 1), 0)
+        full = rowmax <= s  # (_SB, _W): row fully at-or-below slot s
+        # boundary row per slot = #full rows; every full row contributes
+        # all 128 entries and their largest offset is the largest full-row
+        # max (rowmax includes the 2^30 pads, so a padded row is never full
+        # and br always points at a fetchable row)
+        br = jnp.sum(full.astype(jnp.int32), axis=1, keepdims=True)
+        omax_full = jnp.max(jnp.where(full, rowmax, 0), axis=1, keepdims=True)
+        brow = _fetch_block_bits(br, offplanes_ref, acc_ref, 1, iota_l, 4)
+        le = brow <= s  # (_SB, _W): boundary-row entries at-or-below s
+        cnt = br * _W + jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
+        omax = jnp.maximum(
+            omax_full, jnp.max(jnp.where(le, brow, 0), axis=1, keepdims=True)
+        )
+        c = jnp.clip(cnt - 1, 0, m2 - 1)
+        is_eq = (c >= nc).astype(jnp.int32)
+        phys = c - is_eq * nc
+        p = s - omax
+        meta_ref[pl.ds(sb * _SB, _SB), :] = jnp.where(
+            iota_l == 0, phys, jnp.where(iota_l == 1, p, jnp.where(iota_l == 2, is_eq, 0))
+        )
+        out_ref[pl.ds(sb * _SB, _SB), :] = _fetch_block_bits(
+            phys, planes_ref, acc_ref, nrb, iota_l, 4
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_lookup_fetch(flat_rows: jax.Array, off: jax.Array, k: int,
+                        interpret: bool = False):
+    """In-VMEM slot->chunk lookup + chunk-row fetch for the stage-2
+    selection: given the (nc, 128) f32 chunk table and the (2*nc,) i32
+    exclusive tier offsets, return for each of k output slots the fetched
+    chunk row plus (phys, p, is_eq) — bit-identical to the XLA
+    merge-by-sort lookup + row gather it replaces (the lookup invariant
+    ``last chunk with off <= s`` is computed exactly by counting).
+
+    Returns (rows (k, 128) f32, phys (k,) i32, p (k,) i32, is_eq (k,) bool).
+    """
+    if not _HAS_PLTPU:
+        raise RuntimeError("pallas_lookup_fetch requires pallas.tpu")
+    nc, w = flat_rows.shape
+    if w != _W:
+        raise ValueError(f"lookup_fetch requires w == {_W}")
+    m2 = off.shape[0]
+    if m2 != 2 * nc:
+        raise ValueError(f"off rows {m2} != 2*chunks {2 * nc}")
+    kp = -(-k // _SB) * _SB
+    mp = -(-nc // _RB) * _RB
+    m2p = -(-m2 // _W) * _W
+    if m2p // _W > _W:
+        raise ValueError(f"off table too large ({m2p // _W} rows > {_W})")
+    tab = flat_rows.astype(jnp.float32)
+    if mp > nc:
+        tab = jnp.pad(tab, ((0, mp - nc), (0, 0)))
+    planes = byte_planes(jax.lax.bitcast_convert_type(tab, jnp.int32))
+    if m2p == m2:
+        # force at least one padded off entry so the last row is never
+        # "full" and br always addresses a real row
+        m2p += _W
+    offp = jnp.concatenate(
+        [off.astype(jnp.int32), jnp.full((m2p - m2,), jnp.int32(2**30))]
+    )
+    offp = offp.reshape(m2p // _W, _W)
+    # per-off-row maxima (the "full row" staircase the kernel counts
+    # against); lanes past the row count sit above every slot id
+    rowmax = jnp.full((1, _W), jnp.int32(2**30))
+    rowmax = jax.lax.dynamic_update_slice(
+        rowmax, jnp.max(offp, axis=1)[None, :], (0, 0)
+    )
+    # byte planes of the off rows themselves (padded to one row-block):
+    # the kernel fetches each slot's boundary row with the same one-hot
+    # machinery as the chunk rows
+    off_tab = jnp.concatenate(
+        [offp, jnp.full((_RB - m2p // _W, _W), jnp.int32(2**30))]
+    )
+    offplanes = byte_planes(off_tab)
+
+    vspec = (
+        pl.BlockSpec(memory_space=pltpu.VMEM) if not interpret else pl.BlockSpec()
+    )
+    bits, meta = pl.pallas_call(
+        functools.partial(_lookup_fetch_kernel, k=kp, m=mp, m2=m2, nc=nc),
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, _W), jnp.int32),
+            jax.ShapeDtypeStruct((kp, _W), jnp.int32),
+        ],
+        in_specs=[vspec, vspec, vspec],
+        out_specs=[vspec, vspec],
+        scratch_shapes=[pltpu.VMEM((_SB, 4 * _W), jnp.int32)],
+        interpret=interpret,
+    )(offplanes, rowmax, planes)
+    rows = jax.lax.bitcast_convert_type(bits[:k], jnp.float32)
+    return rows, meta[:k, 0], meta[:k, 1], meta[:k, 2].astype(jnp.bool_)
+
+
 def _select_kernel(meta_ref, planes_ref, t_ref, out_ref, acc_ref,
                    *, k: int, m: int, thr_bits: int):
     """In-kernel tail of select_topk_threshold's extraction: fetch each

@@ -207,9 +207,12 @@ def select_topk_threshold(
             )
 
     pallas_full = False
+    lookup_fetch = False
+    _mode = None
     static_thr_bits = None
     if (
-        row_gather in ("pallas_full", "pallas_select", "pallas_bisect")
+        row_gather in ("pallas_full", "pallas_select", "pallas_bisect",
+                       "pallas_lookup")
         and flat.dtype != jnp.bfloat16
     ):
         # python-level threshold bits for the pallas kernels (score_thresh
@@ -218,7 +221,7 @@ def select_topk_threshold(
 
         static_thr_bits = int(_np.float32(score_thresh).view(_np.int32))
     if (
-        row_gather in ("pallas_full", "pallas_bisect")
+        row_gather in ("pallas_full", "pallas_bisect", "pallas_lookup")
         and flat.dtype != jnp.bfloat16
         and w == 128
     ):
@@ -242,12 +245,21 @@ def select_topk_threshold(
             thr_bits = jnp.asarray(static_thr_bits, jnp.int32)
             cnt = jnp.concatenate([cg, ce])
             pallas_full = True
+            # 'pallas_lookup' replaces the XLA merge-by-sort slot->chunk
+            # lookup AND the chunk-row fetch with the fused in-VMEM kernel
+            # (band-skipped counting over the monotone offsets table)
+            lookup_fetch = row_gather == "pallas_lookup"
         # 'pallas_full' chains into the in-kernel extraction; 'pallas_bisect'
         # is the measured-best hybrid on v5e: in-VMEM bisect+counts (saves
         # the ~3.6 ms XLA counting streams) + plain pallas row fetch with
         # the XLA extraction tail (the in-kernel extract tail measured
         # SLOWER than the XLA tail: 52.9 vs 47.7 ms e2e postprocess)
-        row_gather = "pallas_select" if row_gather == "pallas_full" else "pallas"
+        if row_gather == "pallas_full":
+            row_gather = "pallas_select"
+        elif row_gather == "pallas_lookup":
+            row_gather = "xla"  # only reached when the kernel is unavailable
+        else:
+            row_gather = "pallas"
 
     if pallas_full:
         pass
@@ -283,6 +295,18 @@ def select_topk_threshold(
     total = off[-1] + cnt[-1]
 
     s_iota = jnp.arange(k, dtype=jnp.int32)
+    if lookup_fetch:
+        from yolort_tpu.ops.pallas.lookup_kernel import pallas_lookup_fetch
+
+        rows_v, phys, p, is_eq_tier = pallas_lookup_fetch(
+            flat.reshape(nc_chunks, w), off.astype(jnp.int32), k,
+            interpret=_mode == "interpret",
+        )
+        rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int32)
+        return _extract_tail(
+            rows_v, rows_b, phys, p, is_eq_tier, t, thr_bits,
+            s_iota, total, k, w, sort,
+        )
     # chunk containing output slot s: the last chunk whose offset <= s.
     m = off.shape[0]
     if m * k >= 1 << 22:
@@ -396,6 +420,18 @@ def select_topk_threshold(
             rows_b = jax.lax.bitcast_convert_type(rows_v, jnp.int16)
         else:
             rows_b = jax.lax.bitcast_convert_type(rows_v.astype(jnp.float32), jnp.int32)
+    return _extract_tail(
+        rows_v, rows_b, phys, p, is_eq_tier, t, thr_bits, s_iota, total,
+        k, w, sort, pay=pay if payload is not None else None,
+    )
+
+
+def _extract_tail(rows_v, rows_b, phys, p, is_eq_tier, t, thr_bits,
+                  s_iota, total, k, w, sort, pay=None):
+    """Shared XLA extraction tail of ``select_topk_threshold``: recompute
+    the gt/eq tier masks on the fetched chunk rows, extract each slot's
+    p-th set lane via the tri-matmul rank, mask empty slots, and optionally
+    sort descending (payload columns ride the sort)."""
     rows_valid = rows_b > thr_bits
     rows_m = rows_valid & jnp.where(
         is_eq_tier[:, None], rows_b == t, rows_b >= t + 1
@@ -421,7 +457,7 @@ def select_topk_threshold(
     ok = s_iota < jnp.minimum(total, k)
     vals = jnp.where(ok, vals, -1.0)
     idx = jnp.where(ok, idx, 0)
-    if payload is not None:
+    if pay is not None:
         if sort:
             cols = [pay[:, j] for j in range(pay.shape[1])]
             srt = jax.lax.sort((-vals, idx, *cols), dimension=0, num_keys=1)
