@@ -484,6 +484,7 @@ def main():
             def int8_row():
                 from yolort_tpu.ops.quantization import (
                     calibrate_activations,
+                    finalize_scales,
                     quantize_compute_params,
                 )
 
@@ -495,7 +496,13 @@ def main():
                     for i in idxs
                 ]
                 pc = calibrate_activations(model.head_outputs, params, cal_batches)
-                qparams = jax.device_put(quantize_compute_params(pc))
+                # static + concat-group-unified scales: every concat-boundary
+                # rescale pass vanishes from the compiled graph (finalize_scales)
+                qparams = finalize_scales(
+                    model.head_outputs, quantize_compute_params(pc),
+                    np.asarray(cal_batches[0][:1], np.float32),
+                )
+                qparams = jax.device_put(qparams)
                 result["int8_imgs_per_sec"] = round(run_config(
                     model, qparams, raw, dtype, plan, args.iters,
                     args.repeat), 2)

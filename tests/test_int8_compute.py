@@ -158,3 +158,98 @@ def test_qconcat_same_scale_fast_path_bit_exact():
         np.asarray(out),
         np.concatenate([np.asarray(parts[0].q), np.asarray(parts[1].q)], axis=-1),
     )
+
+
+def test_static_scale_qconcat_and_qadd():
+    """StaticScale (trace-time-constant scales): unified scales produce a
+    PURE int8 concat (no rescale in the graph), non-unified static ratios
+    match the runtime-scale arithmetic, and _qadd folds static ratios."""
+    from yolort_tpu.ops.blocks import QTensor, StaticScale, _qadd, _qconcat
+
+    rng = np.random.default_rng(4)
+    ref = jnp.zeros((0,), jnp.bfloat16)
+    q0 = jnp.asarray(rng.integers(-127, 128, (2, 4, 4, 8), dtype=np.int8))
+    q1 = jnp.asarray(rng.integers(-127, 128, (2, 4, 4, 8), dtype=np.int8))
+
+    # unified static scales -> bytes pass through untouched
+    a = QTensor(q0, StaticScale(0.02), ref)
+    b = QTensor(q1, StaticScale(0.02), ref)
+    out = _qconcat([a, b], axis=-1)
+    assert isinstance(out.s, StaticScale) and out.s.v == 0.02
+    assert np.array_equal(
+        np.asarray(out.q), np.concatenate([np.asarray(q0), np.asarray(q1)], -1)
+    )
+    # the unified concat compiles to a graph with NO multiply
+    hlo = jax.jit(
+        lambda x, y: _qconcat(
+            [QTensor(x, StaticScale(0.02), ref), QTensor(y, StaticScale(0.02), ref)],
+            axis=-1,
+        ).q
+    ).lower(q0, q1).as_text()
+    assert "multiply" not in hlo
+
+    # non-unified static ratio matches the runtime-scale general path
+    c = QTensor(q1, StaticScale(0.01), ref)
+    out_static = _qconcat([a, c], axis=-1)
+    out_runtime = _qconcat(
+        [
+            QTensor(q0, jnp.asarray(0.02, jnp.float32), ref),
+            QTensor(q1, jnp.asarray(0.01, jnp.float32), ref),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_static.q), np.asarray(out_runtime.q), atol=1
+    )
+    assert abs(out_static.s.v - float(out_runtime.s)) < 1e-8  # f64 vs f32 repr
+
+    # _qadd with static scales tracks the runtime formula
+    add_static = _qadd(a, c, StaticScale(0.03))
+    add_runtime = _qadd(
+        QTensor(q0, jnp.asarray(0.02, jnp.float32), ref),
+        QTensor(q1, jnp.asarray(0.01, jnp.float32), ref),
+        jnp.asarray(0.03, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(add_static.q), np.asarray(add_runtime.q), atol=1
+    )
+
+
+def test_finalize_scales_static_tree_and_parity(setup):
+    """finalize_scales: scales become trace-time constants, every concat
+    group is unified (zero rescale multiplies at concat boundaries), and
+    the detections stay within the same PTQ envelope as the runtime-scale
+    tree."""
+    from yolort_tpu.ops.blocks import StaticScale
+    from yolort_tpu.ops.quantization import finalize_scales
+
+    model, params, qparams = setup
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 96, 128, 3)), jnp.float32)
+    qs = finalize_scales(model.head_outputs, qparams, np.asarray(x[:1, :32, :32]))
+
+    statics = [
+        l for l in jax.tree_util.tree_leaves(
+            qs, is_leaf=lambda v: isinstance(v, StaticScale))
+        if isinstance(l, StaticScale)
+    ]
+    assert len(statics) >= 20
+    # no runtime scale scalars remain
+    def leaves_with_key(node, key):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == key and not isinstance(v, dict):
+                    yield v
+                else:
+                    yield from leaves_with_key(v, key)
+    for key in ("xs", "os", "as"):
+        for v in leaves_with_key(qs, key):
+            assert isinstance(v, StaticScale), key
+
+    # decode tracks the runtime-scale tree (group-max raising costs at most
+    # ~1 rounding bit on the raised tensors)
+    d_rt = np.asarray(jax.jit(model.decode)(qparams, x), np.float32)
+    d_st = np.asarray(jax.jit(model.decode)(qs, x), np.float32)
+    s_rt = d_rt[..., 4:5] * d_rt[..., 5:]
+    s_st = d_st[..., 4:5] * d_st[..., 5:]
+    assert np.abs(s_rt - s_st).max() < 0.05

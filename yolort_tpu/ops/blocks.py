@@ -138,6 +138,60 @@ def conv2d_nhwc(x, w, *, stride=1, padding=0, groups=1, preferred_element_type=N
 
 _CALIBRATION: bool = False  # set by quantization.calibrate_activations(); eager-mode only
 
+# scale-group discovery mode (quantization.finalize_scales): when set to a
+# list, the runtime-scale _qconcat records the scale objects of every concat's
+# parts so the calibrated output scales feeding one concat can be unified to
+# the group max — making every concat-boundary rescale pass a trace-time
+# no-op once the scales are static.  Eager-mode only.
+_UNIFY: Optional[list] = None
+
+
+class StaticScale:
+    """A per-tensor activation scale carried as a TRACE-TIME CONSTANT.
+
+    The int8 path's remaining model-level gap vs its traffic floor is the
+    glue at block boundaries: with scales as runtime f32 params, the
+    ``q * (s/common)`` rescale at every concat cannot be folded by XLA
+    (the ratio is a runtime value) and measurably materializes a full
+    read+write pass over every part.  Scales are fixed the moment
+    calibration ends, so there is no reason for them to be runtime values:
+    StaticScale registers as a LEAFLESS pytree node whose value lives in
+    the treedef, making every scale a compile-time constant — identity
+    ratios vanish from the graph entirely and non-identity ratios fold
+    into neighbouring elementwise work.  Analogue of the reference's ppq
+    flow baking calibrated scales into the TensorRT engine
+    (deployment/ppq/quantize.py).  Value-hashable (jit cache keys compare
+    by value); treat as immutable after construction — mutating ``v``
+    after a trace is cached would NOT retrigger compilation."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: float):
+        self.v = float(v)
+
+    def __repr__(self):
+        return f"StaticScale({self.v!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, StaticScale) and other.v == self.v
+
+    def __hash__(self):
+        return hash((StaticScale, self.v))
+
+
+jax.tree_util.register_pytree_node(
+    StaticScale, lambda s: ((), s), lambda aux, _: aux
+)
+
+
+def _sv(s):
+    """Concrete float of a StaticScale; identity on runtime scales."""
+    return s.v if isinstance(s, StaticScale) else s
+
+
+def _is_static(*ss) -> bool:
+    return all(isinstance(s, StaticScale) for s in ss)
+
 
 class QTensor(NamedTuple):
     """int8 activation tensor flowing BETWEEN quantized convs.
@@ -164,12 +218,17 @@ def _as_float(x):
     by blocks/ops that have no int8-domain equivalent."""
     if isinstance(x, QTensor):
         ft = x.ref.dtype
+        if isinstance(x.s, StaticScale):
+            return x.q.astype(ft) * x.s.v
         return x.q.astype(ft) * x.s.astype(ft)
     return x
 
 
 def _requantize(y, out_scale) -> QTensor:
-    q = jnp.clip(jnp.round(y * (1.0 / out_scale).astype(y.dtype)), -127.0, 127.0)
+    if isinstance(out_scale, StaticScale):
+        q = jnp.clip(jnp.round(y * (1.0 / out_scale.v)), -127.0, 127.0)
+    else:
+        q = jnp.clip(jnp.round(y * (1.0 / out_scale).astype(y.dtype)), -127.0, 127.0)
     return QTensor(q.astype(jnp.int8), out_scale, jnp.zeros((0,), y.dtype))
 
 
@@ -186,17 +245,36 @@ def _qconcat(parts, axis=-1):
     part."""
     if all(isinstance(p, QTensor) for p in parts):
         ft = parts[0].ref.dtype
+        if _UNIFY is not None:
+            _UNIFY.append([p.s for p in parts])
+        if _is_static(*(p.s for p in parts)):
+            # static scales: the per-part ratio is a trace-time constant.
+            # After finalize_scales unifies every concat group to its max,
+            # all ratios here are exactly 1.0 and the rescale passes are
+            # absent from the compiled graph (the concat reads the conv
+            # epilogues' int8 outputs directly).
+            common = max(p.s.v for p in parts)
+            qs = [
+                p.q if p.s.v == common else
+                jnp.clip(jnp.round(p.q.astype(ft) * (p.s.v / common)), -127.0, 127.0).astype(jnp.int8)
+                for p in parts
+            ]
+            return QTensor(
+                jnp.concatenate(qs, axis=axis), StaticScale(common), parts[0].ref
+            )
         if all(p.s is parts[0].s for p in parts[1:]):
             return QTensor(
                 jnp.concatenate([p.q for p in parts], axis=axis),
                 parts[0].s, parts[0].ref,
             )
-        common = parts[0].s
-        for p in parts[1:]:
-            common = jnp.maximum(common, p.s)
+        # runtime scales (mixed static parts normalized to runtime scalars)
+        ss = [jnp.asarray(_sv(p.s), jnp.float32) for p in parts]
+        common = ss[0]
+        for s in ss[1:]:
+            common = jnp.maximum(common, s)
         qs = [
-            jnp.clip(jnp.round(p.q.astype(ft) * (p.s / common).astype(ft)), -127.0, 127.0).astype(jnp.int8)
-            for p in parts
+            jnp.clip(jnp.round(p.q.astype(ft) * (s / common).astype(ft)), -127.0, 127.0).astype(jnp.int8)
+            for p, s in zip(parts, ss)
         ]
         return QTensor(jnp.concatenate(qs, axis=axis), common, parts[0].ref)
     return jnp.concatenate([_as_float(p) for p in parts], axis=axis)
@@ -210,8 +288,27 @@ def _qadd(a, b, out_scale=None):
     add otherwise."""
     if isinstance(a, QTensor) and isinstance(b, QTensor):
         ft = a.ref.dtype
-        s = (a.s + b.s) if out_scale is None else out_scale
-        y = a.q.astype(ft) * (a.s / s).astype(ft) + b.q.astype(ft) * (b.s / s).astype(ft)
+        if _is_static(a.s, b.s) and (out_scale is None or _is_static(out_scale)):
+            # static ratios fold into the (single, unavoidable) add pass;
+            # a ratio of exactly 1.0 skips its multiply at trace time
+            sval = (a.s.v + b.s.v) if out_scale is None else out_scale.v
+            ta = a.q.astype(ft) if a.s.v == sval else a.q.astype(ft) * (a.s.v / sval)
+            tb = b.q.astype(ft) if b.s.v == sval else b.q.astype(ft) * (b.s.v / sval)
+            return QTensor(
+                jnp.clip(jnp.round(ta + tb), -127.0, 127.0).astype(jnp.int8),
+                StaticScale(sval), a.ref,
+            )
+        sa = jnp.asarray(_sv(a.s), jnp.float32) if isinstance(a.s, StaticScale) else a.s
+        sb = jnp.asarray(_sv(b.s), jnp.float32) if isinstance(b.s, StaticScale) else b.s
+        # out_scale kept by reference (NOT rewrapped): the finalize_scales
+        # discovery pass matches scale leaves by object identity
+        if out_scale is None:
+            s = sa + sb
+        elif isinstance(out_scale, StaticScale):
+            s = jnp.asarray(out_scale.v, jnp.float32)
+        else:
+            s = out_scale
+        y = a.q.astype(ft) * (sa / s).astype(ft) + b.q.astype(ft) * (sb / s).astype(ft)
         return QTensor(jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8), s, a.ref)
     return _as_float(a) + _as_float(b)
 
@@ -221,7 +318,7 @@ def _quantize_input(x, inv_scale):
     # bf16 elementwise at 2x f32 rate, and integers up to 256 are exact in
     # bf16 so the clip/round stay faithful (the product picks up <=0.5 ulp,
     # within the +-0.5-level PTQ noise floor)
-    xf = x * inv_scale.astype(x.dtype)
+    xf = x * (inv_scale if isinstance(inv_scale, float) else inv_scale.astype(x.dtype))
     return jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
 
 
@@ -232,12 +329,12 @@ def _conv_int8(p: Params, x, *, stride, padding, groups):
     if isinstance(x, QTensor):
         xq, in_s, ft = x.q, x.s, x.ref.dtype
     else:
-        xq, in_s, ft = _quantize_input(x, 1.0 / p["xs"]), p["xs"], x.dtype
+        xq, in_s, ft = _quantize_input(x, 1.0 / _sv(p["xs"])), p["xs"], x.dtype
     y = conv2d_nhwc(
         xq, p["wq"], stride=stride, padding=padding, groups=groups,
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(ft) * (in_s * p["ws"]).astype(ft)
+    y = y.astype(ft) * (_sv(in_s) * p["ws"]).astype(ft)
     if "b" in p:
         y = y + p["b"].astype(ft)
     return y
@@ -257,11 +354,11 @@ def _conv_int8_fused(p: Params, x, *, k, stride, padding, groups, act):
     if isinstance(x, QTensor):
         xq, in_s, ft = x.q, x.s, x.ref.dtype
     else:
-        xq, in_s, ft = _quantize_input(x, 1.0 / p["xs"]), p["xs"], x.dtype
+        xq, in_s, ft = _quantize_input(x, 1.0 / _sv(p["xs"])), p["xs"], x.dtype
     os = p.get("os")
     y = _qk.qconv(
-        xq, p["wq"], in_s * p["ws"], p.get("b"), k=k, act=act,
-        inv_out_scale=(1.0 / os if os is not None else None), out_dtype=ft,
+        xq, p["wq"], _sv(in_s) * p["ws"], p.get("b"), k=k, act=act,
+        inv_out_scale=(1.0 / _sv(os) if os is not None else None), out_dtype=ft,
     )
     if y is None:  # shape outside the kernel's VMEM budget
         return None

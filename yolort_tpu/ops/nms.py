@@ -746,6 +746,13 @@ def _single_image_nms_cells(
     s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
 
     cell_sel = anchor_sel // A
+    a_sel = anchor_sel % A
+    # Narrow-segment alternatives to the full-row gather are all measured
+    # negative on v5e (tools/experiments/cellgather.py + PERF.md): vmapped
+    # (1, kw) dynamic_slice 6443 ms (serialized), explicit lax.gather with
+    # (1, kw) slices 1471 ms, reshape-to-(n*A, kw) + narrow row gather
+    # 12.9 vs 11.5 ms (the lane-split relayout eats the width saving) —
+    # TPU's gather is only fast for full aligned rows.
     if cell_gather == "pallas":
         # band-skipped in-VMEM byte-plane fetch: anchor_sel is piecewise
         # index-sorted (two tiers from the sort compaction), so each
@@ -766,7 +773,6 @@ def _single_image_nms_cells(
             )[:, : A * kw]
     else:
         crows = cells[cell_sel]  # (k1, A*kw) THE row gather
-    a_sel = anchor_sel % A
     # extract the selected anchor's kw-lane segment (3-way select on small
     # (k1, kw) slices), then lane-pad to the padded-head layout
     segs = [crows[:, a * kw:(a + 1) * kw] for a in range(A)]

@@ -219,6 +219,95 @@ def quantize_compute_params(
     return walk(params, ())
 
 
+def finalize_scales(apply_fn, params: Dict, example) -> Dict:
+    """Freeze the quantized tree's activation scales into trace-time
+    constants and unify every concat group's output scales.
+
+    Two measured facts motivate this (docs/PERF.md):
+      * with scales as runtime f32 params, XLA cannot fold the
+        ``q * (s/common)`` rescale at concat boundaries and each one
+        materializes a full read+write pass over every part — the "int8
+        glue" residue between the model's 16.3 ms and its 11.5 ms traffic
+        floor;
+      * scales never change after calibration, so nothing is lost by
+        baking them into the compiled program.
+
+    Pass 1 runs ``apply_fn(params, example)`` EAGERLY (tiny example is
+    fine — scale routing is shape-independent) with ``blocks._UNIFY``
+    recording, per concat, the identity of each part's scale leaf.  Pass 2
+    union-finds those groups (a tensor reused by two concats — e.g. PAN
+    backbone features — transitively merges them), takes each group's max,
+    and rewrites every ``os``/``as``/``xs`` leaf as a
+    :class:`~yolort_tpu.ops.blocks.StaticScale` holding the (possibly
+    raised) value.  Raising a producer's output scale to the group max
+    costs at most one rounding bit on that tensor (the harness in
+    tests/test_int8_ap_delta.py bounds the AP effect); in exchange every
+    concat in the graph becomes a pure int8 concatenation with NO rescale
+    pass.  Analogue of the reference ppq flow baking calibrated scales
+    into the engine (deployment/ppq/quantize.py).
+    """
+    from yolort_tpu.ops import blocks
+
+    groups: list = []
+    blocks._UNIFY = groups
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            apply_fn(params, jnp.asarray(example))
+    finally:
+        blocks._UNIFY = None
+
+    # union-find over scale-leaf identity
+    parent: Dict[int, int] = {}
+    val: Dict[int, float] = {}
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for grp in groups:
+        ids = []
+        for s in grp:
+            i = id(s)
+            if i not in parent:
+                parent[i] = i
+                val[i] = float(jnp.asarray(_sv_of(s)))
+            ids.append(i)
+        r0 = find(ids[0])
+        for i in ids[1:]:
+            r = find(i)
+            if r != r0:
+                parent[r] = r0
+    group_max: Dict[int, float] = {}
+    for i in parent:
+        r = find(i)
+        group_max[r] = max(group_max.get(r, 0.0), val[i])
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("xs", "os", "as") and not isinstance(v, dict):
+                    i = id(v)
+                    if i in parent:
+                        out[k] = blocks.StaticScale(group_max[find(i)])
+                    else:
+                        out[k] = blocks.StaticScale(float(jnp.asarray(v)))
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
+
+
+def _sv_of(s):
+    from yolort_tpu.ops.blocks import _sv
+
+    return _sv(s)
+
+
 def strip_calibration(params: Dict) -> Dict:
     """Drop ``_absmax`` markers (so the pytree is jit-clean) without
     quantizing."""
