@@ -287,13 +287,14 @@ def resolve_nms_config(cfg: NMSConfig) -> NMSConfig:
     if flatten_pad == "auto":
         # A/B on v5e: the cell-major path keeps the head outputs in conv
         # channel layout (concat 2.1 ms vs flatten+pad 4.7 ms; segmented
-        # stage-1 6.7 vs 12.1 ms) — best for eval-style large-k selects;
-        # the small-k serving config stays on the unpadded default (-43
-        # imgs/s measured for the padded variants there)
-        flatten_pad = (
-            "cell" if on_accel and topk_impl == "bisect" and cfg.pre_nms_topk >= 2048
-            else False
-        )
+        # stage-1 6.7 vs 12.1 ms).  Round 4 re-measured the SMALL-k serving
+        # config too (tools/experiments + /tmp harness, batch 128 @640,
+        # topk 512, bit-identical outputs): cell-major 17.3 ms postprocess
+        # vs unpadded 21.0 — the r3 "-43 imgs/s" result was for the
+        # lane-padded flatten variant, not cell-major.  Cell-major is now
+        # the accelerator default for every bisect-select config; CPU keeps
+        # the unpadded path.
+        flatten_pad = "cell" if on_accel and topk_impl == "bisect" else False
         upd["flatten_pad"] = flatten_pad
 
     if flatten_pad == "cell":
@@ -729,6 +730,11 @@ def _single_image_nms_cells(
     # stage 1: per-anchor best-class score via segmented full-lane masked
     # reductions on the A*kw conv rows (sigmoid is monotone, one
     # transcendental pair per anchor)
+    # NOTE: the (n_cells, A, kw) reshape-view formulation (1 reduce + 1
+    # slice instead of 2A masked full-lane maxes) measured SLOWER e2e on
+    # v5e (46.7 vs 43.8 ms, tools/experiments/s1reduce.py) — the
+    # non-tile-aligned 255→3x85 view costs a relayout the masked
+    # reductions avoid.  Keep the masked form.
     clane = jnp.arange(A * kw, dtype=jnp.int32)
     neg = jnp.asarray(-1.0e4, cells.dtype)
     per = []
