@@ -248,11 +248,21 @@ def finalize_scales(apply_fn, params: Dict, example) -> Dict:
     """
     from yolort_tpu.ops import blocks
 
+    # the quantized tree's non-quantized leaves may be bf16 (serving dtype);
+    # the discovery pass must feed the example in that same floating dtype or
+    # the first conv raises a dtype mismatch (scale routing is dtype-agnostic)
+    float_dt = next(
+        (l.dtype for l in jax.tree_util.tree_leaves(params)
+         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+         and l.dtype != jnp.float32),
+        jnp.float32,
+    )
+
     groups: list = []
     blocks._UNIFY = groups
     try:
         with jax.default_device(jax.devices("cpu")[0]):
-            apply_fn(params, jnp.asarray(example))
+            apply_fn(params, jnp.asarray(example, float_dt))
     finally:
         blocks._UNIFY = None
 
