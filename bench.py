@@ -191,7 +191,12 @@ def run_streaming(model, params, size, dtype, batch: int, n_batches: int = 8):
     assert n_out == len(frames), (n_out, len(frames))
     raw_rate = n_out / elapsed
     adj_rate = n_out / max(elapsed - rtt * n_batches, 1e-9)
-    return round(raw_rate, 2), round(adj_rate, 2), round(rtt * 1000, 2)
+    # uint8 payload rate: through the relay this row is tunnel-bandwidth-
+    # bound (~30 MB/s observed), NOT a TPU H2D measurement — report the
+    # rate so the bottleneck is visible next to the imgs/s
+    h2d_mbps = n_out * size * size * 3 / elapsed / 1e6
+    return (round(raw_rate, 2), round(adj_rate, 2), round(rtt * 1000, 2),
+            round(h2d_mbps, 1))
 
 
 def run_train(model, size, dtype, batch: int, steps: int = 20, warmup: int = 3):
@@ -261,6 +266,11 @@ def main():
     ap.add_argument("--skip-eval-config", action="store_true")
     ap.add_argument("--skip-int8", action="store_true",
                     help="skip the int8-compute serving config")
+    ap.add_argument("--skip-int8-ap", action="store_true",
+                    help="skip the trained-scene int8 AP-delta row")
+    ap.add_argument("--int8-ap-steps", type=int, default=1000,
+                    help="training steps for the int8 AP-delta probe "
+                         "(1000 converges the scene detector to AP 1.0)")
     ap.add_argument("--skip-latency", action="store_true",
                     help="skip the batch-1/8 latency percentiles")
     ap.add_argument("--skip-streaming", action="store_true",
@@ -399,12 +409,17 @@ def main():
 
         if not args.skip_streaming:
             def stream_row():
-                sraw, sadj, srtt = run_streaming(
+                sraw, sadj, srtt, smbps = run_streaming(
                     model, params, s, dtype, batch=args.stream_batch,
                     n_batches=args.stream_nbatches)
                 result["streaming_imgs_per_sec"] = sraw
                 result["streaming_rtt_adjusted"] = sadj
                 result["streaming_relay_rtt_ms"] = srtt
+                result["streaming_h2d_MBps"] = smbps
+                result["streaming_note"] = (
+                    "host-fed uint8 frames; through the relay the row is "
+                    "tunnel-bandwidth-bound (see streaming_h2d_MBps), not "
+                    "a TPU H2D measurement")
             guard("streaming", stream_row)
 
         if not args.skip_train:
@@ -510,6 +525,31 @@ def main():
                 # is bounded separately (tests/test_int8_ap_delta.py)
                 result["int8_calibration_imgs"] = 2 * len(idxs)
             guard("int8", int8_row)
+
+        if not args.skip_int8_ap:
+            # int8 ACCURACY next to the int8 throughput: the trained-scene
+            # probe (converged nano detector, PTQ + sensitivity-scan skip-2
+            # recipe).  Meaningful only when the probe converges
+            # (int8_ap_float ~1.0 at the default 1000 steps); the smoke
+            # config runs it at tiny steps purely to exercise the row.
+            def int8_ap_row():
+                from yolort_tpu.utils.quant_probe import (
+                    int8_ap_report,
+                    make_scenes,
+                    train_scene_detector,
+                )
+
+                imgs, gts = make_scenes()
+                m, p = train_scene_detector(imgs, gts,
+                                            steps=args.int8_ap_steps)
+                rep = int8_ap_report(m, p, imgs, gts)
+                result["int8_ap_float"] = rep["float_ap"]
+                result["int8_ap"] = rep["int8_ap"]
+                result["int8_ap_delta"] = rep["delta"]
+                result["int8_ap_skip"] = rep["skip"]
+                result["int8_ap_n_skip"] = rep["n_skip"]
+                result["int8_ap_train_steps"] = args.int8_ap_steps
+            guard("int8_ap", int8_ap_row)
 
     except BaseException as e:  # noqa: BLE001 - record, then re-raise
         result["error"] = f"{type(e).__name__}: {str(e)[:300]}"

@@ -47,6 +47,9 @@ def test_bench_all_rows_tiny_cpu():
             "--latency-calls", "3",
             "--stream-batch", "2", "--stream-nbatches", "2",
             "--train-batch", "2", "--train-steps", "2",
+            # 3 steps exercise the int8 AP-delta row end-to-end; the probe
+            # only converges (delta becomes meaningful) at the default 1000
+            "--int8-ap-steps", "3",
         ],
         capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
     )
@@ -62,6 +65,9 @@ def test_bench_all_rows_tiny_cpu():
     # the calibration row ran (candidate load is realistic, not degenerate)
     assert "candidates_per_img@0.25" in result
     assert result["latency_calls"] == 3
+    # the int8 accuracy row ran (values only converge at full steps)
+    assert "int8_ap_delta" in result, sorted(result)
+    assert "int8_ap_float" in result, sorted(result)
 
 
 def test_bench_row_failure_is_contained():

