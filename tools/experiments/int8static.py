@@ -46,6 +46,7 @@ ap.add_argument("--batch", type=int, default=128)
 ap.add_argument("--size", type=int, default=640)
 ap.add_argument("--iters", type=int, default=20)
 ap.add_argument("--p6", action="store_true", help="also run the P6@1280 check")
+ap.add_argument("--p6-batch", type=int, default=64)
 args = ap.parse_args()
 
 dtype = jnp.bfloat16
@@ -141,9 +142,9 @@ for a, b in zip(o_rt, o_st):
     print(f"head-output maxabs(static - runtime) = {d:.4f}", flush=True)
 
 if args.p6:
-    print("== P6 @1280 batch 64 ==", flush=True)
+    print(f"== P6 @1280 batch {args.p6_batch} ==", flush=True)
     m6, p6, q6_rt, q6_st, plan6, raw6 = build_all(
-        "yolov5_darknet_pan_s6_r60", 1280, 64)
+        "yolov5_darknet_pan_s6_r60", 1280, args.p6_batch)
     imgs6 = jax.jit(lambda r: letterbox_batch(r.astype(dtype) * (1.0 / 255.0), plan6))(raw6)
     timed_chain("P6 head_outputs bf16", m6, p6, imgs6, args.iters)
     timed_chain("P6 head_outputs int8 runtime", m6, q6_rt, imgs6, args.iters)
