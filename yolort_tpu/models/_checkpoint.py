@@ -423,9 +423,12 @@ def convert_yolov5_checkpoint(
 
 def load_pretrained_params(arch: str, model) -> Dict:
     """Resolve pretrained weights from the local weights directory
-    (YOLORT_TPU_WEIGHTS or ~/.cache/yolort_tpu).  The reference downloads
-    from its GitHub release registry (yolo.py:271-289); this environment has
-    no egress, so weights must be pre-seeded."""
+    (YOLORT_TPU_WEIGHTS or ~/.cache/yolort_tpu), then — if a hub is
+    configured via YOLORT_HUB_BASE — by downloading the sha-suffixed
+    release asset (the reference's registry flow, yolo.py:271-289, with
+    retry/resume/sha semantics from v5/utils/downloads.py:24-47).
+    Downloads are opt-in: with no hub configured, weights must be
+    pre-seeded (the zero-egress default)."""
     import os
 
     from yolort_tpu.utils.robustness import PRETRAINED_REGISTRY, verify_checkpoint
@@ -452,7 +455,28 @@ def load_pretrained_params(arch: str, model) -> Dict:
                 if not verify_checkpoint(str(cand_pt)):
                     raise ValueError(f"sha256 mismatch for checkpoint {cand_pt}")
                 return load_from_ultralytics(str(cand_pt))["params"]
+
+    from yolort_tpu.utils.robustness import attempt_download, hub_base
+
+    base = hub_base()
+    if base is not None:
+        cache = Path(
+            os.environ.get("YOLORT_TPU_WEIGHTS", "")
+            or os.path.expanduser("~/.cache/yolort_tpu")
+        )
+        # sha-suffixed release asset first (self-verifying), plain name after
+        for name, ext in [(n, e) for n in reversed(names) for e in ("npz", "pt")]:
+            try:
+                got = attempt_download(f"{base}/{name}.{ext}", cache / f"{name}.{ext}")
+            except Exception:
+                continue
+            if ext == "npz":
+                params, _ = load_params(str(got))
+                return params
+            return load_from_ultralytics(str(got))["params"]
+
     raise FileNotFoundError(
         f"No pretrained weights for '{arch}'. Place '{arch}_coco.npz' under "
-        "$YOLORT_TPU_WEIGHTS or ~/.cache/yolort_tpu (no network egress here)."
+        "$YOLORT_TPU_WEIGHTS or ~/.cache/yolort_tpu, or set YOLORT_HUB_BASE "
+        "to a release mirror to download them."
     )

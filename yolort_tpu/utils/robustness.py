@@ -1,15 +1,17 @@
 """Robustness utilities: timeouts, retries, checkpoint integrity.
 
 Capability parity with the reference's failure-handling surface
-(SURVEY.md §5): download retry + sha256 prefix verification
+(SURVEY.md §5): download retry + resume + sha256 prefix verification
 (v5/utils/downloads.py:24-47), the Timeout context manager
-(v5/utils/general.py:68).  Downloads themselves are gated off in this
-zero-egress environment; integrity checking applies to local files.
+(v5/utils/general.py:68).  The downloader (attempt_download) is real,
+dependency-free urllib code exercised against loopback HTTP in tests;
+actual hub fetches are opt-in via YOLORT_HUB_BASE (zero-egress default).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import signal
 import time
 from pathlib import Path
@@ -96,3 +98,129 @@ PRETRAINED_REGISTRY = {
     "yolov5_darknet_pan_l_r60": "yolov5_darknet_pan_l_r60_coco-321d8dcd",
     "yolov5_darknet_tan_s_r40": "yolov5_darknet_tan_s_r40_coco-fe1069ce",
 }
+
+# Release base the reference publishes its converted checkpoints under
+# (yolort/models/yolo.py:271-289 builds per-arch URLs on such a base).
+# Overridable so air-gapped deployments can point at a mirror — and so the
+# loopback-HTTP tests can exercise the real network path with zero egress.
+DEFAULT_HUB_BASE = "https://github.com/zhiqwang/yolov5-rt-stack/releases/download/v0.6.0"
+
+
+def hub_base() -> Optional[str]:
+    """The configured hub base URL, or None when downloads are disabled.
+
+    Downloads are OPT-IN here (unlike the reference, which downloads by
+    default): set YOLORT_HUB_BASE to a mirror URL, or to "default" for the
+    reference's release registry.  The default-off stance keeps the library
+    deterministic in air-gapped/CI environments instead of stalling on a
+    blocked socket."""
+    base = os.environ.get("YOLORT_HUB_BASE", "")
+    if not base:
+        return None
+    if base.lower() in ("default", "1", "true"):
+        return DEFAULT_HUB_BASE
+    return base.rstrip("/")
+
+
+def pretrained_url(arch: str, base: Optional[str] = None) -> Optional[str]:
+    """Release-asset URL for an arch's converted COCO checkpoint
+    (sha-suffixed name from PRETRAINED_REGISTRY), or None if unknown."""
+    base = base if base is not None else hub_base()
+    if base is None or arch not in PRETRAINED_REGISTRY:
+        return None
+    return f"{base}/{PRETRAINED_REGISTRY[arch]}.pt"
+
+
+def attempt_download(
+    url: str,
+    dest,
+    hash_prefix: Optional[str] = None,
+    attempts: int = 3,
+    delay: float = 0.5,
+    timeout: float = 30.0,
+    resume: bool = True,
+    min_bytes: int = 1,
+    chunk_bytes: int = 1 << 20,
+):
+    """Download ``url`` to ``dest`` with retry, byte-Range resume, and
+    sha256-prefix verification.
+
+    Capability parity with the reference's safe_download/attempt_download
+    (v5/utils/downloads.py:24-47: partial-download cleanup, min_bytes
+    check, hash verification, curl-style ``-C -`` resume on retry) as one
+    dependency-free urllib implementation:
+
+    - data streams into ``dest + '.part'``; a retry resumes from the
+      partial via ``Range: bytes=<pos>-`` (servers answering 200 instead
+      of 206 restart the file from scratch);
+    - ``hash_prefix`` defaults to a trailing ``-<hex>`` token parsed from
+      the dest filename (the reference embeds it in release names); a
+      mismatch discards the file and counts as a failed attempt;
+    - on success the part file is atomically renamed to ``dest``.
+
+    Returns the dest Path.  Raises the last error after ``attempts``
+    failures (partial data is kept for a future resume unless the hash
+    mismatched)."""
+    import urllib.error
+    import urllib.request
+
+    dest = Path(dest)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if hash_prefix is None:
+        stem = dest.stem
+        if "-" in stem:
+            candidate = stem.rsplit("-", 1)[-1]
+            if len(candidate) >= 6 and all(c in "0123456789abcdef" for c in candidate):
+                hash_prefix = candidate
+    if dest.exists() and dest.stat().st_size >= min_bytes:
+        if hash_prefix is None or sha256_prefix(dest, len(hash_prefix)) == hash_prefix:
+            return dest
+        dest.unlink()
+    part = dest.with_name(dest.name + ".part")
+    last: Optional[BaseException] = None
+    for i in range(attempts):
+        try:
+            pos = part.stat().st_size if (resume and part.exists()) else 0
+            req = urllib.request.Request(url)
+            if pos > 0:
+                req.add_header("Range", f"bytes={pos}-")
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                if pos > 0 and getattr(r, "status", 200) != 206:
+                    pos = 0  # server ignored the Range header: restart
+                length = r.headers.get("Content-Length")
+                expected = pos + int(length) if length is not None else None
+                with open(part, "ab" if pos > 0 else "wb") as f:
+                    if pos == 0:
+                        f.truncate(0)
+                    while True:
+                        block = r.read(chunk_bytes)
+                        if not block:
+                            break
+                        f.write(block)
+            if expected is not None and part.stat().st_size < expected:
+                # mid-stream connection death: urllib can return the short
+                # body without raising.  The salvaged bytes are good — keep
+                # the partial so the retry resumes instead of restarting.
+                raise OSError(
+                    f"truncated download: {part.stat().st_size}/{expected} bytes"
+                )
+            if part.stat().st_size < min_bytes:
+                raise OSError(
+                    f"downloaded {part.stat().st_size} bytes < min_bytes={min_bytes}"
+                )
+            if hash_prefix is not None:
+                got = sha256_prefix(part, len(hash_prefix))
+                if got != hash_prefix:
+                    part.unlink()  # poisoned data: do not resume from it
+                    raise ValueError(
+                        f"sha256 mismatch for {url}: got {got}, want {hash_prefix}"
+                    )
+            part.replace(dest)
+            return dest
+        except (OSError, ValueError, urllib.error.URLError) as e:
+            last = e
+            if isinstance(e, urllib.error.HTTPError) and e.code in (403, 404, 410):
+                break  # the asset does not exist; retrying cannot help
+            if i < attempts - 1:
+                time.sleep(delay * (i + 1))
+    raise last
