@@ -64,6 +64,9 @@ COMBOS = [
     dict(flatten_pad="cell", topk_impl="bisect", row_gather="pallas_bisect",
          box_gather="pallas"),
     dict(flatten_pad="cell", topk_impl="bisect", row_gather="pallas_lookup"),
+    dict(flatten_pad="cell", topk_impl="bisect", s1_impl="precat"),
+    dict(flatten_pad="cell", topk_impl="bisect", s1_impl="precat",
+         anchor_arith=True, row_gather="pallas_bisect"),
     # single-stage selection
     dict(selection="single", topk_impl="bisect"),
     dict(selection="single", topk_impl="sort", anchor_arith=True),

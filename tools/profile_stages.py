@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--topk", type=int, default=4096)
+    ap.add_argument("--score", type=float, default=None,
+                    help="score threshold for the postprocess stages "
+                         "(default: the arch's, 0.005 for the cells rows); "
+                         "pass 0.25 with --topk 512 for the serving config")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="shift the head objectness bias exactly like "
+                         "bench.py (calibrate_candidate_density) so the "
+                         "NMS/suppression rows see the bench's candidate "
+                         "load instead of the near-empty random-init one")
     ap.add_argument("--stages", default="head,decode,topk,nms_xla,nms_pallas,full")
     ap.add_argument("--device", default=None,
                     help="jax platform override (e.g. cpu); the env-pinned "
@@ -79,12 +88,29 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     stages = args.stages.split(",")
 
-    model = build_yolo(args.arch, pre_nms_topk=args.topk)
+    mkw = {"pre_nms_topk": args.topk}
+    if args.score is not None:
+        mkw["score_thresh"] = args.score
+    model = build_yolo(args.arch, **mkw)
     params = cast_floating(model.init(jax.random.PRNGKey(0)), dtype)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (args.batch, args.size, args.size, 3)),
         dtype,
     )
+    if args.calibrate:
+        # the bench's honesty calibration: raw uint8 frames + identity
+        # letterbox plan, bias shifted until score>0.25 pairs/img >= 120
+        from bench import calibrate_candidate_density
+        from yolort_tpu.models.transform import LetterboxPlan
+
+        s = args.size
+        raw = jnp.asarray(np.random.default_rng(1).integers(
+            0, 255, (args.batch, s, s, 3), dtype=np.uint8))
+        plan = LetterboxPlan((s, s), (s, s), (s, s), (0, 0))
+        params, delta, dens = calibrate_candidate_density(
+            model, params, raw, dtype, plan)
+        print(f"calibrated: obj_bias_shift={delta:.3f} "
+              f"candidates/img@0.25={dens:.0f}", flush=True)
     print(f"backend={jax.default_backend()} batch={args.batch} size={args.size} dtype={args.dtype}")
 
     # RTT calibration
@@ -185,7 +211,7 @@ def profile_cells(args, model, params, x):
     kw = 5 + nc
     k = args.topk
     k1 = k + 8
-    score_thresh = 0.005
+    score_thresh = 0.005 if args.score is None else args.score
 
     def cells_of(hs):
         return jnp.concatenate(

@@ -227,7 +227,10 @@ class NMSConfig:
       cell_gather    cells-table k1-row fetch: 'xla' default ('pallas' loses:
                      byte-plane table exceeds the 16 MB scoped VMEM).
       s1_impl        stage-1 screen: 'sortidx' (indices-only, one i32 sort)
-                     | 'compact' (full value compaction).
+                     | 'compact' (full value compaction); on the cell path
+                     'precat' computes the stage-1 reductions per level on
+                     the pre-concat head outputs (bit-identical; fuses with
+                     the concat read / head-conv epilogues).
       stage2         'flat80' (default) | 'row128' (payload-carried boxes at
                      full lane width — measured negative).
       payload_boxes  ride decoded boxes through the selection's chunk gather
@@ -298,6 +301,13 @@ def resolve_nms_config(cfg: NMSConfig) -> NMSConfig:
         upd["flatten_pad"] = flatten_pad
 
     if flatten_pad == "cell":
+        if cfg.s1_impl == "auto":
+            # measurement hook first (bench A/B), else the measured default
+            _hook = os.environ.get("YOLORT_S1_PRECAT")
+            if _hook == "1":
+                upd["s1_impl"] = "precat"
+            elif _hook == "0":
+                upd["s1_impl"] = "cells"
         if os.environ.get("YOLORT_PALLAS_FETCH") == "1":
             # measurement hook: route all three latency-bound fetches of the
             # cell path through the in-VMEM byte-plane kernels
@@ -680,6 +690,31 @@ def _single_image_nms_from_logits(
     )
 
 
+def _stage1_per_anchor(rows: jax.Array, A: int, kw: int) -> jax.Array:
+    """Per-anchor best-class score over (..., A*kw) conv-layout rows —
+    the cell path's stage-1 screen, shared by the in-path (post-concat)
+    and 'precat' (per-level, pre-concat) formulations so both are the
+    same reduction program (bit-identical outputs).
+
+    For each anchor a: sigmoid(max class logit) * sigmoid(obj logit) via
+    2A masked full-lane max-reductions (XLA fuses them into one stream;
+    the (A, kw) reshape-view form measured slower — the non-tile-aligned
+    255→3x85 lane split materializes a relayout, PERF.md negative -2b).
+    Returns (..., A), same floating dtype as ``rows``.
+    """
+    clane = jnp.arange(A * kw, dtype=jnp.int32)
+    neg = jnp.asarray(-1.0e4, rows.dtype)
+    per = []
+    for a in range(A):
+        base = a * kw
+        obj_l = jnp.max(jnp.where(clane == base + 4, rows, neg), axis=-1)
+        cls_l = jnp.max(
+            jnp.where((clane >= base + 5) & (clane < base + kw), rows, neg),
+            axis=-1)
+        per.append(jax.nn.sigmoid(cls_l) * jax.nn.sigmoid(obj_l))
+    return jnp.stack(per, axis=-1)
+
+
 def _single_image_nms_cells(
     cells: jax.Array,
     *,
@@ -700,6 +735,7 @@ def _single_image_nms_cells(
     row_gather: str = "auto",
     box_gather: str = "auto",
     cell_gather: str = "auto",
+    per_anchor: Optional[jax.Array] = None,
 ) -> Detections:
     """Cell-major lazy-decode postprocess for ONE image — the production
     TPU eval path.
@@ -729,25 +765,15 @@ def _single_image_nms_cells(
 
     # stage 1: per-anchor best-class score via segmented full-lane masked
     # reductions on the A*kw conv rows (sigmoid is monotone, one
-    # transcendental pair per anchor)
-    # NOTE: the (n_cells, A, kw) reshape-view formulation (1 reduce + 1
-    # slice instead of 2A masked full-lane maxes) measured SLOWER e2e on
-    # v5e (46.7 vs 43.8 ms, tools/experiments/s1reduce.py) — the
-    # non-tile-aligned 255→3x85 view costs a relayout the masked
-    # reductions avoid.  Keep the masked form.
-    clane = jnp.arange(A * kw, dtype=jnp.int32)
-    neg = jnp.asarray(-1.0e4, cells.dtype)
-    per = []
-    for a in range(A):
-        base = a * kw
-        obj_l = jnp.max(jnp.where(clane == base + 4, cells, neg), axis=-1)
-        cls_l = jnp.max(
-            jnp.where((clane >= base + 5) & (clane < base + kw), cells, neg), axis=-1
-        )
-        per.append(jax.nn.sigmoid(cls_l) * jax.nn.sigmoid(obj_l))
-    # (n_cells, A) -> (Na,) in flatten_heads anchor order (cell-major, anchor
-    # minor: global anchor index = cell*A + a)
-    per_anchor = jnp.stack(per, axis=-1).reshape(-1)
+    # transcendental pair per anchor).  s1_impl='precat' computes the SAME
+    # reduction per level BEFORE the cells concat (see
+    # batched_postprocess_from_heads) and passes it in — bit-identical
+    # (concat is a pure copy; the reduction is per-row either way) but
+    # fusable with the concat's read of the head outputs.
+    if per_anchor is None:
+        # (n_cells, A) -> (Na,) in flatten_heads anchor order (cell-major,
+        # anchor minor: global anchor index = cell*A + a)
+        per_anchor = _stage1_per_anchor(cells, A, kw).reshape(-1)
 
     s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
 
@@ -864,10 +890,24 @@ def batched_postprocess_from_heads(
     grid_sizes = cfg.grid_sizes
 
     if cfg.flatten_pad == "cell" and cfg.selection == "two_stage" and cfg.classes_per_anchor is None:
+        levels = [o.reshape(o.shape[0], gs[0] * gs[1], o.shape[3])
+                  for o, gs in zip(head_outputs, grid_sizes)]
         cells = jnp.concatenate(
-            [o.reshape(o.shape[0], gs[0] * gs[1], o.shape[3]) for o, gs in
-             zip(head_outputs, grid_sizes)], axis=1,
+            levels, axis=1,
         )  # (B, n_cells, A*kw) — minor dim unchanged: copy, not relayout
+        per_anchor = None
+        if cfg.s1_impl == "precat":
+            # stage-1 computed per level on the PRE-concat head outputs:
+            # the 2A masked reductions read the same buffers the concat
+            # copies, so XLA fuses them into the concat's read instead of
+            # a third full-table stream over the concat output (and, e2e,
+            # into the head-conv epilogues).  Bit-identical to the
+            # in-path stage-1: same per-row reduction, same dtype flow,
+            # same cell-major anchor-minor order.
+            A, kw = cfg.num_anchors, 5 + cfg.num_classes
+            per_anchor = jnp.concatenate(
+                [_stage1_per_anchor(lv, A, kw) for lv in levels], axis=1,
+            ).reshape(cells.shape[0], -1)  # (B, Na)
         fnc = partial(
             _single_image_nms_cells,
             num_classes=cfg.num_classes,
@@ -888,6 +928,8 @@ def batched_postprocess_from_heads(
             box_gather=cfg.box_gather,
             cell_gather=cfg.cell_gather,
         )
+        if per_anchor is not None:
+            return jax.vmap(lambda c, pa: fnc(c, per_anchor=pa))(cells, per_anchor)
         return jax.vmap(fnc)(cells)
 
     logits = flatten_heads(head_outputs, cfg.num_anchors)  # (B, Na, K)
