@@ -178,24 +178,51 @@ def test_hub_base_gating(monkeypatch):
     assert hub_base() == "http://127.0.0.1:1/mirror"
 
 
-def test_load_pretrained_downloads_from_hub(monkeypatch, tmp_path):
-    """End-to-end: factory(pretrained=True) resolves via YOLORT_HUB_BASE
-    download when the local cache is empty (reference: yolo.py:271-289)."""
-    from yolort_tpu.models import yolov5n
-    from yolort_tpu.models._checkpoint import save_params
-    from yolort_tpu.models.yolo import build_yolo
+def test_stale_partial_without_hash_is_discarded(tmp_path):
+    """No hash => no resume: a stale .part cannot be validated against the
+    remote, so the download restarts from byte 0 instead of appending a
+    fresh tail onto old bytes (ADVICE r4)."""
+    _FullHandler.range_requests = []
+    dest = tmp_path / "weights.pt"  # no parseable hash in the name
+    part = tmp_path / "weights.pt.part"
+    part.write_bytes(b"stale bytes from an older remote file")
+    with _serve(_FullHandler) as base:
+        attempt_download(f"{base}/weights.pt", dest)
+    assert dest.read_bytes() == PAYLOAD
+    assert _FullHandler.range_requests == []  # never sent a Range header
 
-    model = build_yolo("yolov5_darknet_pan_n_r60")
+
+def test_attempts_below_one_rejected(tmp_path):
+    with pytest.raises(ValueError, match="attempts=0"):
+        attempt_download("http://127.0.0.1:1/x.pt", tmp_path / "x.pt", attempts=0)
+
+
+def test_load_pretrained_downloads_registry_pt_only(monkeypatch, tmp_path):
+    """End-to-end: factory(pretrained=True) downloads ONLY the registry-named
+    sha-suffixed .pt asset, with the hash passed explicitly — never a
+    plain-name (unverifiable) file (reference flow yolo.py:271-289; ADVICE
+    r4 medium: no unverified fallthrough into torch.load)."""
     import jax
 
-    params = model.init(jax.random.PRNGKey(7))
-    ckpt = tmp_path / "src.npz"
-    save_params(str(ckpt), params, {"arch": "yolov5_darknet_pan_n_r60"})
+    from tests.torch_fixture import make_checkpoint
+    from yolort_tpu.models import yolov5n
+    from yolort_tpu.models._checkpoint import load_from_ultralytics
+    from yolort_tpu.utils import robustness
+
+    ckpt = tmp_path / "src.pt"
+    make_checkpoint(str(ckpt), nc=80, dm=0.33, wm=0.25, seed=5)
     blob = ckpt.read_bytes()
+    sha8 = hashlib.sha256(blob).hexdigest()[:8]
+    reg_name = f"yolov5_darknet_pan_n_r60_coco-{sha8}"
+    monkeypatch.setitem(
+        robustness.PRETRAINED_REGISTRY, "yolov5_darknet_pan_n_r60", reg_name
+    )
+    requested: list = []
 
     class _Hub(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
-            if self.path.endswith("yolov5_darknet_pan_n_r60_coco.npz"):
+            requested.append(self.path)
+            if self.path.endswith(f"{reg_name}.pt"):
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(blob)))
                 self.end_headers()
@@ -211,8 +238,43 @@ def test_load_pretrained_downloads_from_hub(monkeypatch, tmp_path):
     with _serve(_Hub) as base:
         monkeypatch.setenv("YOLORT_HUB_BASE", base)
         m = yolov5n(pretrained=True)
-    got = jax.tree_util.tree_leaves(m.params)
-    want = jax.tree_util.tree_leaves(params)
-    assert len(got) == len(want)
-    for g, w in zip(got, want):
+    assert requested and all(p.endswith(f"{reg_name}.pt") for p in requested)
+    want = load_from_ultralytics(str(ckpt))["params"]
+    got_l = jax.tree_util.tree_leaves(m.params)
+    want_l = jax.tree_util.tree_leaves(want)
+    assert len(got_l) == len(want_l)
+    for g, w in zip(got_l, want_l):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_hub_sha_tamper_raises_without_fallthrough(monkeypatch, tmp_path):
+    """A sha256 mismatch on the registry asset is a tamper signal: the
+    loader raises instead of swallowing it and fetching something
+    unverified (ADVICE r4 medium)."""
+    from yolort_tpu.models._checkpoint import load_pretrained_params
+    from yolort_tpu.utils import robustness
+
+    reg_name = "yolov5_darknet_pan_n_r60_coco-deadbeef"
+    monkeypatch.setitem(
+        robustness.PRETRAINED_REGISTRY, "yolov5_darknet_pan_n_r60", reg_name
+    )
+    requested: list = []
+
+    class _Evil(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            requested.append(self.path)
+            body = b"not the weights that were published" * 64
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    monkeypatch.setenv("YOLORT_TPU_WEIGHTS", str(tmp_path / "cache"))
+    with _serve(_Evil) as base:
+        monkeypatch.setenv("YOLORT_HUB_BASE", base)
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            load_pretrained_params("yolov5_darknet_pan_n_r60", None)
+    assert requested and all(p.endswith(f"{reg_name}.pt") for p in requested)

@@ -459,21 +459,27 @@ def load_pretrained_params(arch: str, model) -> Dict:
     from yolort_tpu.utils.robustness import attempt_download, hub_base
 
     base = hub_base()
-    if base is not None:
+    if base is not None and arch in PRETRAINED_REGISTRY:
         cache = Path(
             os.environ.get("YOLORT_TPU_WEIGHTS", "")
             or os.path.expanduser("~/.cache/yolort_tpu")
         )
-        # sha-suffixed release asset first (self-verifying), plain name after
-        for name, ext in [(n, e) for n in reversed(names) for e in ("npz", "pt")]:
-            try:
-                got = attempt_download(f"{base}/{name}.{ext}", cache / f"{name}.{ext}")
-            except Exception:
-                continue
-            if ext == "npz":
-                params, _ = load_params(str(got))
-                return params
-            return load_from_ultralytics(str(got))["params"]
+        # Only the registry-named release asset is ever downloaded: its
+        # filename embeds the sha256 prefix of the .pt payload, which is
+        # passed EXPLICITLY so verification cannot be skipped.  There is
+        # deliberately no fallthrough to a plain-name (unverifiable) asset
+        # — a mirror that cannot serve the registry name gets a hard error,
+        # never an unverified pickle into load_from_ultralytics (torch.load
+        # executes code).  A sha256 mismatch (ValueError) is a tamper
+        # signal and propagates instead of being swallowed (ADVICE r4).
+        # The .npz variant is not attempted either: the registry hash is of
+        # the reference's .pt asset, so an .npz could never verify.
+        name = PRETRAINED_REGISTRY[arch]
+        hash_prefix = name.rsplit("-", 1)[-1]
+        got = attempt_download(
+            f"{base}/{name}.pt", cache / f"{name}.pt", hash_prefix=hash_prefix
+        )
+        return load_from_ultralytics(str(got))["params"]
 
     raise FileNotFoundError(
         f"No pretrained weights for '{arch}'. Place '{arch}_coco.npz' under "

@@ -228,9 +228,11 @@ class NMSConfig:
                      byte-plane table exceeds the 16 MB scoped VMEM).
       s1_impl        stage-1 screen: 'sortidx' (indices-only, one i32 sort)
                      | 'compact' (full value compaction); on the cell path
-                     'precat' computes the stage-1 reductions per level on
-                     the pre-concat head outputs (bit-identical; fuses with
-                     the concat read / head-conv epilogues).
+                     'cells' (the resolved default: segmented reductions on
+                     the post-concat cells table) | 'precat' computes the
+                     SAME reductions per level on the pre-concat head
+                     outputs (bit-identical; fuses with the concat read /
+                     head-conv epilogues; YOLORT_S1_PRECAT=1 hook).
       stage2         'flat80' (default) | 'row128' (payload-carried boxes at
                      full lane width — measured negative).
       payload_boxes  ride decoded boxes through the selection's chunk gather
@@ -303,11 +305,12 @@ def resolve_nms_config(cfg: NMSConfig) -> NMSConfig:
     if flatten_pad == "cell":
         if cfg.s1_impl == "auto":
             # measurement hook first (bench A/B), else the measured default
+            # 'cells' (post-concat segmented stage-1).  Set explicitly in
+            # both branches so the resolved config is self-describing
+            # instead of relying on 'auto' falling through the dispatcher's
+            # == 'precat' check (ADVICE r4).
             _hook = os.environ.get("YOLORT_S1_PRECAT")
-            if _hook == "1":
-                upd["s1_impl"] = "precat"
-            elif _hook == "0":
-                upd["s1_impl"] = "cells"
+            upd["s1_impl"] = "precat" if _hook == "1" else "cells"
         if os.environ.get("YOLORT_PALLAS_FETCH") == "1":
             # measurement hook: route all three latency-bound fetches of the
             # cell path through the in-VMEM byte-plane kernels

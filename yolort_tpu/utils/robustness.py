@@ -152,7 +152,9 @@ def attempt_download(
 
     - data streams into ``dest + '.part'``; a retry resumes from the
       partial via ``Range: bytes=<pos>-`` (servers answering 200 instead
-      of 206 restart the file from scratch);
+      of 206 restart the file from scratch).  Resume requires a
+      ``hash_prefix`` — without one a stale partial cannot be validated,
+      so hash-less attempts always restart from byte 0;
     - ``hash_prefix`` defaults to a trailing ``-<hex>`` token parsed from
       the dest filename (the reference embeds it in release names); a
       mismatch discards the file and counts as a failed attempt;
@@ -176,11 +178,23 @@ def attempt_download(
         if hash_prefix is None or sha256_prefix(dest, len(hash_prefix)) == hash_prefix:
             return dest
         dest.unlink()
+    if attempts < 1:
+        raise ValueError(f"attempts={attempts} must be >= 1")
     part = dest.with_name(dest.name + ".part")
     last: Optional[BaseException] = None
     for i in range(attempts):
         try:
-            pos = part.stat().st_size if (resume and part.exists()) else 0
+            # Resume only when a hash can validate the assembled file: a
+            # pre-existing .part has no freshness proof (no If-Range/ETag
+            # state is kept), so without a hash a stale partial from an
+            # older remote file would be appended to and renamed into a
+            # silently corrupt dest (ADVICE r4).  Hash-less downloads
+            # restart from byte 0 every attempt.
+            pos = (
+                part.stat().st_size
+                if (resume and hash_prefix is not None and part.exists())
+                else 0
+            )
             req = urllib.request.Request(url)
             if pos > 0:
                 req.add_header("Range", f"bytes={pos}-")
