@@ -22,13 +22,20 @@ ROW_KEYS = [
     "value",
     "p50_ms_b1",
     "p99_ms_b1",
+    "p50_ms_b1_device",
     "p50_ms_b8",
     "p99_ms_b8",
+    "p50_ms_b8_device",
     "streaming_imgs_per_sec",
+    "streaming_device_imgs_per_sec",
     "train_imgs_per_sec",
     "eval_imgs_per_sec",
     "eval_xla_imgs_per_sec",
     "int8_imgs_per_sec",
+    "eval_int8_imgs_per_sec",
+    "p6_bf16_imgs_per_sec",
+    "p6_int8_imgs_per_sec",
+    "arch2_imgs_per_sec",
 ]
 
 
@@ -50,6 +57,8 @@ def test_bench_all_rows_tiny_cpu():
             # 3 steps exercise the int8 AP-delta row end-to-end; the probe
             # only converges (delta becomes meaningful) at the default 1000
             "--int8-ap-steps", "3",
+            # P6 rows at a tiny config (stride-64 level needs size % 64 == 0)
+            "--p6-size", "64", "--p6-batch", "2", "--p6-iters", "2",
         ],
         capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
     )

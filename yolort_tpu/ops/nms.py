@@ -48,6 +48,7 @@ from yolort_tpu.ops.select import (  # noqa: F401  (re-exported public API)
     _bisect_kth_bits,
     _gather_box_rows,
     select_topk_indices,
+    select_topk_indices_compact,
     select_topk_threshold,
 )
 
@@ -233,6 +234,13 @@ class NMSConfig:
                      SAME reductions per level on the pre-concat head
                      outputs (bit-identical; fuses with the concat read /
                      head-conv epilogues; YOLORT_S1_PRECAT=1 hook).
+      s1_select      stage-1 top-k1 SELECT implementation on the cell path:
+                     'sortidx' (whole-domain single-operand i32 sort — wins
+                     at eval k1 where the compaction's k1-row gather costs
+                     ~6 ms) | 'compact' (stream compaction — wins at
+                     serving k1 where the gather is ~8x cheaper and the
+                     sort still pays the full 25k domain); auto picks by k1
+                     (YOLORT_S1_COMPACT=1/0 measurement hook).
       stage2         'flat80' (default) | 'row128' (payload-carried boxes at
                      full lane width — measured negative).
       payload_boxes  ride decoded boxes through the selection's chunk gather
@@ -260,6 +268,7 @@ class NMSConfig:
     box_gather: str = "auto"
     flatten_pad: object = "auto"
     s1_impl: str = "auto"
+    s1_select: str = "auto"
     stage2: str = "auto"
     cell_gather: str = "auto"
 
@@ -311,6 +320,23 @@ def resolve_nms_config(cfg: NMSConfig) -> NMSConfig:
             # == 'precat' check (ADVICE r4).
             _hook = os.environ.get("YOLORT_S1_PRECAT")
             upd["s1_impl"] = "precat" if _hook == "1" else "cells"
+        if cfg.s1_select == "auto":
+            # measurement hook first (A/B harness: tools/experiments/
+            # s1select.py), else pick by k1: the compaction's cost is its
+            # k1-row chunk gather (latency-bound in row count) while the
+            # sort always pays the full-domain price, so small serving k1
+            # favors compaction and large eval k1 the sort.  v5e A/B
+            # (batch 128 @640, bit-identical detections both configs):
+            # serving k1=520 compact 3913.9 vs sortidx 3744.8 imgs/s;
+            # eval k1=4104 sortidx 2213.3 vs compact 1962.1.
+            _hook = os.environ.get("YOLORT_S1_COMPACT")
+            k1 = cfg.pre_nms_anchors
+            if k1 is None:
+                k1 = cfg.pre_nms_topk + 8
+            if _hook in ("0", "1"):
+                upd["s1_select"] = "compact" if _hook == "1" else "sortidx"
+            else:
+                upd["s1_select"] = "compact" if k1 <= 1024 else "sortidx"
         if os.environ.get("YOLORT_PALLAS_FETCH") == "1":
             # measurement hook: route all three latency-bound fetches of the
             # cell path through the in-VMEM byte-plane kernels
@@ -738,6 +764,7 @@ def _single_image_nms_cells(
     row_gather: str = "auto",
     box_gather: str = "auto",
     cell_gather: str = "auto",
+    s1_select: str = "sortidx",
     per_anchor: Optional[jax.Array] = None,
 ) -> Detections:
     """Cell-major lazy-decode postprocess for ONE image — the production
@@ -778,7 +805,12 @@ def _single_image_nms_cells(
         # anchor minor: global anchor index = cell*A + a)
         per_anchor = _stage1_per_anchor(cells, A, kw).reshape(-1)
 
-    s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
+    if s1_select == "compact":
+        s1_ok, anchor_sel = select_topk_indices_compact(
+            per_anchor.astype(jnp.float32), k1
+        )
+    else:
+        s1_ok, anchor_sel = select_topk_indices(per_anchor.astype(jnp.float32), k1)
 
     cell_sel = anchor_sel // A
     a_sel = anchor_sel % A
@@ -856,6 +888,7 @@ def batched_postprocess_from_heads(
     box_gather: str = "auto",
     flatten_pad="auto",
     s1_impl: str = "auto",
+    s1_select: str = "auto",
     stage2: str = "auto",
     cell_gather: str = "auto",
 ) -> Detections:
@@ -887,8 +920,8 @@ def batched_postprocess_from_heads(
         classes_per_anchor=classes_per_anchor, selection=selection,
         anchor_arith=anchor_arith, payload_boxes=payload_boxes,
         row_gather=row_gather, box_gather=box_gather,
-        flatten_pad=flatten_pad, s1_impl=s1_impl, stage2=stage2,
-        cell_gather=cell_gather,
+        flatten_pad=flatten_pad, s1_impl=s1_impl, s1_select=s1_select,
+        stage2=stage2, cell_gather=cell_gather,
     ))
     grid_sizes = cfg.grid_sizes
 
@@ -930,6 +963,7 @@ def batched_postprocess_from_heads(
             row_gather=cfg.row_gather,
             box_gather=cfg.box_gather,
             cell_gather=cfg.cell_gather,
+            s1_select=cfg.s1_select,
         )
         if per_anchor is not None:
             return jax.vmap(lambda c, pa: fnc(c, per_anchor=pa))(cells, per_anchor)

@@ -120,6 +120,32 @@ def select_topk_indices(
     return ok, idx
 
 
+def select_topk_indices_compact(
+    flat: jax.Array, k: int, score_thresh: float = 0.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Indices-only exact top-k via the stream-compaction machinery — the
+    small-k1 alternative to ``select_topk_indices``'s whole-domain sort.
+
+    The sort formulation won its stage-1 A/B at the EVAL config (k1=4104,
+    where the compaction's k-row chunk gather costs ~6 ms at batch 128 and
+    the 25k single-operand i32 sort ~2.6 ms).  The gather is latency-bound
+    in ROW COUNT, so at the serving config (k1=520) it costs ~8x less while
+    the sort still pays its full domain-sized price — the crossover this
+    variant exists for.  v5e e2e A/B (tools/experiments/s1select.py,
+    batch 128 @640): serving compact 3913.9 vs sortidx 3744.8 imgs/s
+    (-1.48 ms/step); eval sortidx 2213.3 vs compact 1962.1 — the resolved
+    default picks by k1 (resolve_nms_config).  Same (ok, idx) contract and the same index-ordered
+    gt-then-eq tie order as ``select_topk_indices`` (the compaction fills
+    slots from the virtual [gt tiers, eq tiers] concatenation, both in
+    index order), so downstream programs are bit-identical.
+    """
+    vals, idx = select_topk_threshold(
+        flat.astype(jnp.float32), k, score_thresh, sort=False
+    )
+    # occupied slots carry a real score (> score_thresh >= 0); empties -1.0
+    return vals > jnp.asarray(score_thresh, vals.dtype), idx
+
+
 def _gather_box_rows(sel_boxes: jax.Array, row: jax.Array, box_gather: str) -> jax.Array:
     """Candidate-boxes k-row fetch with the selected implementation:
     'xla'/'auto' = plain gather; 'mxu' = two-level one-hot lookup (XLA
