@@ -374,7 +374,11 @@ def main():
     ap.add_argument("--skip-arch2", action="store_true",
                     help="skip the second-arch (nano) row")
     ap.add_argument("--arch2", default="yolov5_darknet_pan_n_r60")
-    ap.add_argument("--train-batch", type=int, default=64)
+    # batch 128 beats 64 by 33% on the full step (863.6 vs 648.0 imgs/s,
+    # tools/experiments/train_stages.py — the conv backward is
+    # bandwidth-starved at b64 exactly like the forward, PERF.md train
+    # budget); fits single-chip HBM at 640 with no remat
+    ap.add_argument("--train-batch", type=int, default=128)
     ap.add_argument("--train-steps", type=int, default=20)
     ap.add_argument("--latency-calls", type=int, default=100)
     ap.add_argument("--stream-batch", type=int, default=32)

@@ -9,15 +9,22 @@ subtracted):
 
   fwd         head_outputs forward only
   +loss       forward + YOLOLoss (fixed-shape build_targets + BCE/IoU)
-  +grad       value_and_grad of the same (backward pass)
-  +opt        the full shipping train step (fwd+loss+bwd+optimizer)
+  dx-only     grad wrt images (dW matmuls DCE'd) — the transposed-conv chain
+  conv-bwd    grad of sum(outs) wrt params (full conv backward, no loss bwd)
+  +grad       value_and_grad of the real loss
+  +opt        the full shipping train step, py-loop and lax.scan-chained
 
-Differences between consecutive rows are the per-stage costs.  A floor
-argument for context: the b128 serving forward is HBM-floor-bound at
-18.65 ms (docs/PERF.md); a backward pass moves ~2x the forward's traffic,
-so a not-crazy step floor at b64 is ~0.5*18.65*(1+2.2) ~ 30 ms = ~2100
-imgs/s — the measured 99.7 ms says ~70 ms is NOT conv traffic and must be
-located before it can be attacked.
+Differences between consecutive rows are the per-stage costs.  Two traps
+this harness hit and now documents: (1) consuming only ONE grad leaf lets
+XLA DCE the other layers' dW matmuls — the +grad row must consume every
+leaf; (2) the py-loop-vs-scan A/B shows per-step dispatch costs ~2 ms, so
+the step time is real compute, not relay overhead.
+
+Measured (v5e, bf16 @640, docs/PERF.md "Training step budget"): the
+backward is the step — dx 34.5 + dW 30.2 ms at b64 vs fwd 15.9 — and it is
+bandwidth-starved at b64 exactly like the forward (fwd b64 runs at 58% of
+the b128 per-image rate).  Batch 128 fits HBM and lifts the full step
+648 -> 864 imgs/s (+33%); it is the shipping bench default.
 """
 import argparse
 import os
@@ -115,18 +122,56 @@ def main():
         return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 
     def fwd_grad(params, images):
+        # consume EVERY grad leaf: consuming only one lets XLA dead-code
+        # -eliminate the other layers' dW matmuls (the dx chain survives
+        # either way, but dW is ~half the backward FLOPs), which understates
+        # the backward cost by tens of ms at b64.
         def body(i, acc):
             (total, _), grads = jax.value_and_grad(task.loss_fn, has_aux=True)(
                 params, jit_img(images, acc), targets, mask)
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            return acc + total.astype(jnp.float32) + jnp.sum(leaf.astype(jnp.float32))
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return acc + total.astype(jnp.float32) + gsum
+        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+    def grad_convs_only(params, images):
+        # grad of sum(head outputs): the conv-stack backward (dx chain + all
+        # dW) with NO loss backward — isolates conv backward from the loss's
+        # gather-backward (scatter-add) and dense-grid BCE backward.
+        def trivial_loss(p, imgs):
+            outs = model.head_outputs(p, imgs)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+        def body(i, acc):
+            val, grads = jax.value_and_grad(trivial_loss)(params, jit_img(images, acc))
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return acc + val + gsum
+        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+    def grad_dx_only(params, images):
+        # grad wrt IMAGES only: XLA keeps the dx transposed-conv chain but
+        # dead-code-eliminates every dW matmul — splits the conv backward
+        # into its dx and dW halves.
+        def trivial_loss(imgs, p):
+            outs = model.head_outputs(p, imgs)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+        def body(i, acc):
+            val, gimg = jax.value_and_grad(trivial_loss)(jit_img(images, acc), params)
+            return acc + val + jnp.sum(gimg.astype(jnp.float32))
         return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 
     timed("fwd (head_outputs)", fwd_only)
     timed("+ loss (build_targets+BCE+IoU)", fwd_loss)
+    timed("grad wrt images (dx chain only)", grad_dx_only)
+    timed("grad of sum(outs) (conv bwd only)", grad_convs_only)
     timed("+ grad (backward)", fwd_grad)
 
-    # full step: thread the TrainState (the shipping bench method)
+    # full step: thread the TrainState (the shipping bench method) —
+    # Python loop, one dispatch per step.  Through the relay each dispatch
+    # pays host round-trip overhead that a directly-attached chip (or an
+    # in-graph chain) would not.
     step = make_train_step(task)
     for _ in range(2):
         state, metrics = step(state, images, targets, mask)
@@ -140,8 +185,33 @@ def main():
         float(metrics["bbox_regression"])
         best = min(best, time.perf_counter() - t0)
     ms = max(best - rtt, 1e-9) / args.iters * 1000
-    print(f"{'+ opt (full shipping step)':34s} {ms:9.2f} ms/step  "
+    print(f"{'+ opt (py-loop dispatch/step)':34s} {ms:9.2f} ms/step  "
           f"({b/ms*1000:7.1f} imgs/s)", flush=True)
+
+    # full step, in-graph chained: lax.scan over the SAME train step with
+    # the TrainState threaded inside one jitted program — zero per-step
+    # dispatch, the method every other bench row uses.  The gap between
+    # this row and the py-loop row is pure dispatch overhead, not compute.
+    def scanned(state, images):
+        def body(st, _):
+            st2, metrics = task.train_step(st, images, targets, mask)
+            return st2, metrics["bbox_regression"]
+
+        st, ys = jax.lax.scan(body, state, None, length=args.iters)
+        return ys[-1]
+
+    jf = jax.jit(scanned)
+    t0 = time.perf_counter()
+    float(jf(state, images))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        float(jf(state, images))
+        best = min(best, time.perf_counter() - t0)
+    ms = max(best - rtt, 1e-9) / args.iters * 1000
+    print(f"{'+ opt (in-graph scan chain)':34s} {ms:9.2f} ms/step  "
+          f"({b/ms*1000:7.1f} imgs/s)  (compile {compile_s:.0f}s)", flush=True)
     return 0
 
 
