@@ -175,7 +175,15 @@ class YOLOLoss:
         ):
             b, h, w, _ = out.shape
             k = 5 + nc
-            logits = out.reshape(b, h * w * na, k).astype(jnp.float32)
+            # keep the (B, n, k) table in the head's compute dtype: the f32
+            # cast of the FULL table materializes ~1.1 GB at b128@640 as the
+            # candidate gather's operand (gathers can't fuse a cast producer)
+            # and its backward streams it again around the scatter-add.
+            # cast(gather(x)) == gather(cast(x)) elementwise, so casting the
+            # 240 gathered rows / the obj lane after extraction is
+            # bit-identical in the loss values (grads differ only in the
+            # dtype the gather-backward scatter-add accumulates in).
+            logits = out.reshape(b, h * w * na, k)
             anchors = jnp.asarray(ag, jnp.float32).reshape(na, 2) / stride  # grid units
 
             gxy = t_xy * jnp.asarray([w, h], jnp.float32)  # (B, T, 2)
@@ -227,7 +235,9 @@ class YOLOLoss:
 
             # gather predictions at candidate cells (batch-major, no
             # cross-image indexing)
-            pred = jnp.take_along_axis(logits, cell[..., None], axis=1)  # (B, C, k)
+            pred = jnp.take_along_axis(logits, cell[..., None], axis=1).astype(
+                jnp.float32
+            )  # (B, C, k)
             sig = jax.nn.sigmoid(pred[..., :4])
             pred_xy = sig[..., :2] * 2.0 - 0.5
             pred_wh = (sig[..., 2:4] * 2.0) ** 2 * c_anchor_wh
@@ -247,7 +257,9 @@ class YOLOLoss:
                 return jnp.zeros((h * w * na,), jnp.float32).at[idx].set(val, mode="drop")
 
             tobj = jax.vmap(scatter_one)(drop_cell, tobj_val)  # (B, H*W*A)
-            loss_obj_l = jnp.mean(self._bce(logits[..., 4], tobj, self.obj_pos))
+            loss_obj_l = jnp.mean(
+                self._bce(logits[..., 4].astype(jnp.float32), tobj, self.obj_pos)
+            )
             loss_obj = loss_obj + loss_obj_l * bal
 
             # classification over candidate subset
