@@ -369,7 +369,10 @@ def main():
                     help="skip the P6@1280 bf16+int8 rows")
     ap.add_argument("--p6-arch", default="yolov5_darknet_pan_s6_r60")
     ap.add_argument("--p6-size", type=int, default=1280)
+    # bf16 P6 is batch-starved below 128 (PERF.md win #0: 662 @64 ->
+    # 893 @128); int8 P6's builder-side number is b64, keep it comparable
     ap.add_argument("--p6-batch", type=int, default=64)
+    ap.add_argument("--p6-bf16-batch", type=int, default=128)
     ap.add_argument("--p6-iters", type=int, default=8)
     ap.add_argument("--skip-arch2", action="store_true",
                     help="skip the second-arch (nano) row")
@@ -706,11 +709,13 @@ def main():
         if not args.skip_p6:
             p6b, p6s, p6i = args.p6_batch, args.p6_size, args.p6_iters
             guard("p6_bf16", lambda: variant_row(
-                args.p6_arch, p6s, p6b, p6i, "p6_bf16_imgs_per_sec"))
+                args.p6_arch, p6s, args.p6_bf16_batch, p6i,
+                "p6_bf16_imgs_per_sec"))
             guard("p6_int8", lambda: variant_row(
                 args.p6_arch, p6s, p6b, p6i, "p6_int8_imgs_per_sec", int8=True))
             result["p6_config"] = (
-                f"{args.p6_arch}@{p6s} batch{p6b} e2e(letterbox+NMS)")
+                f"{args.p6_arch}@{p6s} bf16 batch{args.p6_bf16_batch} / "
+                f"int8 batch{p6b} e2e(letterbox+NMS)")
 
         if not args.skip_arch2:
             guard("arch2", lambda: variant_row(

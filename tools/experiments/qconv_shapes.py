@@ -45,11 +45,27 @@ def collect_conv_shapes(arch: str, size: int):
     compute, no device)."""
     from yolort_tpu.models.yolo import build_yolo
     from yolort_tpu.ops import blocks
-    from yolort_tpu.ops.quantization import quantize_compute_params
+    from yolort_tpu.ops.quantization import (
+        calibrate_activations,
+        quantize_compute_params,
+    )
+    from yolort_tpu.utils import cast_floating
 
     model = build_yolo(arch)
-    params = model.init(jax.random.PRNGKey(0))
-    qparams = quantize_compute_params(params)
+    # bf16 floating leaves: the unquantized glue runs in the bench dtype,
+    # matching the bf16 probe input
+    params = cast_floating(model.init(jax.random.PRNGKey(0)), jnp.bfloat16)
+    # quantize_compute_params only converts leaves that carry calibration
+    # markers — record them with one tiny eager batch (the *shapes* are
+    # collected below at the full --size via eval_shape; the calibration
+    # size only has to hit every conv once, and eager-through-the-relay
+    # cost scales with it)
+    cal_size = 320 if size % 64 == 0 else 256
+    cal = jnp.asarray(
+        np.random.default_rng(0).random((1, cal_size, cal_size, 3)),
+        jnp.bfloat16)
+    pc = calibrate_activations(model.head_outputs, params, [cal])
+    qparams = quantize_compute_params(pc)
 
     seen = {}
     real = blocks.conv2d_nhwc
