@@ -84,3 +84,23 @@ def test_dispatch_unsupported_returns_none():
                                    act="silu") is None
     assert blocks._conv_int8_fused(p, x, k=6, stride=2, padding=2, groups=1,
                                    act="silu") is None
+
+
+def test_shape_gated_band(monkeypatch):
+    """YOLORT_QCONV=band admits only the measured winning band (round-5
+    per-shape sweep, tools/experiments/qconv_shapes.py): k=1, extent >=
+    160x160, cin 64-128, cout >= 64.  Mode '1' admits everything; unset
+    admits nothing (available() already gates that, but shape_gated must
+    agree)."""
+    monkeypatch.setenv("YOLORT_QCONV", "band")
+    assert Q.shape_gated(1, 160, 160, 128, 64)
+    assert Q.shape_gated(1, 320, 320, 64, 64)
+    assert Q.shape_gated(1, 160, 160, 128, 255)
+    assert not Q.shape_gated(3, 160, 160, 64, 64)      # every 3x3 loses
+    assert not Q.shape_gated(1, 80, 80, 128, 128)      # small extent
+    assert not Q.shape_gated(1, 160, 160, 256, 64)     # wide cin loses
+    assert not Q.shape_gated(1, 320, 320, 64, 32)      # cout=32 loses
+    monkeypatch.setenv("YOLORT_QCONV", "1")
+    assert Q.shape_gated(3, 20, 20, 256, 256)
+    monkeypatch.setenv("YOLORT_QCONV", "0")
+    assert not Q.shape_gated(1, 320, 320, 64, 64)

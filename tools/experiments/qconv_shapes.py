@@ -138,7 +138,7 @@ def main():
         wq = jnp.asarray(rng.integers(-100, 100, (k, k, cin, cout)), jnp.int8)
         scale = jnp.asarray(rng.uniform(1e-4, 1e-3, (cout,)), jnp.float32)
         bias = jnp.asarray(rng.uniform(-0.1, 0.1, (cout,)), jnp.float32)
-        inv_os = 37.5
+        inv_os = jnp.float32(37.5)
 
         def xla_path(xq, wq, jit_i):
             x = (xq + jit_i.astype(jnp.int8)).astype(jnp.int8)

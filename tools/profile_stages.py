@@ -199,6 +199,7 @@ def profile_cells(args, model, params, x):
         cxcywh_to_xyxy,
         nms_keep_mask,
         select_topk_indices,
+        select_topk_indices_compact,
         select_topk_threshold,
     )
 
@@ -212,6 +213,13 @@ def profile_cells(args, model, params, x):
     k = args.topk
     k1 = k + 8
     score_thresh = 0.005 if args.score is None else args.score
+    # mirror resolve_nms_config's k1-resolved stage-1 select so the
+    # cumulative budget profiles the SHIPPING program (compact at serving
+    # k1, whole-domain sort at eval k1)
+    _s1_compact = k1 <= 1024
+    _s1_sel = (select_topk_indices_compact if _s1_compact
+               else select_topk_indices)
+    _s1_label = "compact" if _s1_compact else "sortidx"
 
     def cells_of(hs):
         return jnp.concatenate(
@@ -234,7 +242,7 @@ def profile_cells(args, model, params, x):
     def sel_rows(cells):
         pa = stage1_scores(cells)
         def one(f, c):
-            ok, a_sel = select_topk_indices(f, k1)
+            ok, a_sel = _s1_sel(f, k1)
             if _pal:
                 from yolort_tpu.ops.pallas.lookup_kernel import pallas_row_fetch
                 return ok, a_sel, pallas_row_fetch(
@@ -268,9 +276,9 @@ def profile_cells(args, model, params, x):
 
     timed(lambda hs: jnp.sum(stage1_scores(cells_of(hs)).astype(jnp.float32)),
           heads, label="cells concat + stage-1")
-    timed(lambda hs: jnp.sum(jax.vmap(lambda f: select_topk_indices(f, k1)[1])(
+    timed(lambda hs: jnp.sum(jax.vmap(lambda f: _s1_sel(f, k1)[1])(
         stage1_scores(cells_of(hs)).astype(jnp.float32)).astype(jnp.float32)),
-          heads, label="+ stage-1 sort-select")
+          heads, label=f"+ stage-1 select ({_s1_label})")
     timed(lambda hs: jnp.sum(sel_rows(cells_of(hs))[2].astype(jnp.float32)),
           heads, label="+ cell-row gather")
     def p_seg(hs):

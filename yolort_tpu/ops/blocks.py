@@ -351,6 +351,10 @@ def _conv_int8_fused(p: Params, x, *, k, stride, padding, groups, act):
 
     if not _qk.available():
         return None
+    xr = x.q if isinstance(x, QTensor) else x
+    if not _qk.shape_gated(k, xr.shape[1], xr.shape[2], xr.shape[3],
+                           p["wq"].shape[3]):
+        return None
     if isinstance(x, QTensor):
         xq, in_s, ft = x.q, x.s, x.ref.dtype
     else:

@@ -65,7 +65,28 @@ def available() -> bool:
     return (
         _HAS_PLTPU
         and jax.default_backend() not in ("cpu",)
-        and os.environ.get("YOLORT_QCONV", "0") == "1"
+        and os.environ.get("YOLORT_QCONV", "0") in ("1", "band")
+    )
+
+
+def shape_gated(k: int, h: int, w: int, cin: int, cout: int) -> bool:
+    """True when this conv shape should use the fused kernel under the
+    current YOLORT_QCONV mode.  ``band`` restricts the kernel to the
+    measured winning band from the round-5 per-shape P6@1280 sweep
+    (tools/experiments/qconv_shapes.py, v5e, batch 64): large-extent 1x1s
+    with narrow channels — 160x160x{64,128}->{64..255} and 320x320x64->64
+    win 0.06-0.63 ms/conv; every 3x3, every cin>=256 wide-channel 1x1, and
+    the cout=32 stem-adjacent 1x1s lose (Mosaic relayout + per-grid-step
+    overhead).  Mode "1" keeps the r3 everything-on experiment."""
+    mode = os.environ.get("YOLORT_QCONV", "0")
+    if mode == "1":
+        return True
+    return (
+        mode == "band"
+        and k == 1
+        and h * w >= 160 * 160
+        and 64 <= cin <= 128
+        and cout >= 64
     )
 
 
@@ -115,8 +136,10 @@ def qconv1x1(xq, wq, scale, bias, *, act="silu", inv_out_scale=None,
     tm = max(block_m, (2 ** 21 // (4 * tn)) // 512 * 512)
     tm = min(tm, m)
     grid = (pl.cdiv(m, tm), pl.cdiv(cout, tn))
+    # inv_out_scale may be a Python float under static scales
+    # (StaticScale trace-time constants, round 4) — coerce, don't .astype
     ios = jnp.reshape(
-        (inv_out_scale if out_int8 else jnp.float32(1.0)).astype(jnp.float32), (1,)
+        jnp.asarray(inv_out_scale if out_int8 else 1.0, jnp.float32), (1,)
     )
     return pl.pallas_call(
         functools.partial(_kernel_1x1, act=act, out_int8=out_int8),
@@ -204,8 +227,10 @@ def qconv3x3(xq, wq, scale, bias, *, act="silu", inv_out_scale=None,
     out_int8 = inv_out_scale is not None
     p_w = -(-(w + 2) // 32) * 32
     chunk = _chunk_rows(h, p_w, cout)
+    # inv_out_scale may be a Python float under static scales
+    # (StaticScale trace-time constants, round 4) — coerce, don't .astype
     ios = jnp.reshape(
-        (inv_out_scale if out_int8 else jnp.float32(1.0)).astype(jnp.float32), (1,)
+        jnp.asarray(inv_out_scale if out_int8 else 1.0, jnp.float32), (1,)
     )
     # dx-major stacking of dy-concat blocks: slice dx*3C:(dx+1)*3C gives
     # [W[0,dx]; W[1,dx]; W[2,dx]], matching the kernel's dy-concat channels
