@@ -394,6 +394,16 @@ def main():
 
     import jax
 
+    # Honor an explicit CPU request.  The axon sitecustomize force-registers
+    # the TPU backend at interpreter start and WINS over the JAX_PLATFORMS
+    # env var (measured: env cpu -> backend tpu), so a subprocess pinned to
+    # CPU by its caller (tests/test_bench_smoke.py) would still dial the
+    # relay — and a wedged relay then hangs the CPU gate for 900s.  The
+    # config update after import is the only override that sticks (same
+    # trick as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compile cache (same dir as the test conftest): the bench's
     # big batch-128 programs compile in minutes cold, seconds warm
     jax.config.update(
