@@ -62,7 +62,11 @@ def calibrate_candidate_density(model, params, raw_u8, dtype, plan, target: int 
             lo = mid
         else:
             hi = mid
-    delta = (lo + hi) / 2
+    # take the >=target endpoint, not the midpoint: the count function is a
+    # cliff and the midpoint can land on its ZERO side (observed at P6@1280,
+    # tools/experiments/p6batch.py printed dens 0 — no suppression work at
+    # all).  hi keeps the loop invariant count_at(hi) >= target.
+    delta = hi
 
     def shift_bias(p):
         out = dict(p)
@@ -371,7 +375,12 @@ def main():
     ap.add_argument("--p6-size", type=int, default=1280)
     # bf16 P6 is batch-starved below 128 (PERF.md win #0: 662 @64 ->
     # 893 @128); int8 P6's builder-side number is b64, keep it comparable
-    ap.add_argument("--p6-batch", type=int, default=64)
+    # int8 also runs at its measured-optimal batch 128 (was pinned at 64 for
+    # r4 comparability; tools/experiments/p6batch.py: int8 844 imgs/s @b64
+    # -> 1200 @b128 — the same batch starvation bf16 had at 1280).  Both
+    # dtypes at the same batch also makes the inversion-resolution claim
+    # directly comparable.
+    ap.add_argument("--p6-batch", type=int, default=128)
     ap.add_argument("--p6-bf16-batch", type=int, default=128)
     ap.add_argument("--p6-iters", type=int, default=8)
     ap.add_argument("--skip-arch2", action="store_true",
