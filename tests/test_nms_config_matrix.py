@@ -77,6 +77,13 @@ COMBOS = [
          anchor_arith=True, row_gather="pallas_bisect"),
     dict(flatten_pad="cell", topk_impl="bisect", s1_select="compact",
          s1_impl="precat", cell_gather="pallas"),
+    # fused Pallas concat+stage-1 (round-5 kernel, interpret mode on CPU)
+    # crossed with both selects and the kernel fetches
+    dict(flatten_pad="cell", topk_impl="bisect", s1_impl="fused"),
+    dict(flatten_pad="cell", topk_impl="bisect", s1_impl="fused",
+         s1_select="compact", anchor_arith=True),
+    dict(flatten_pad="cell", topk_impl="bisect", s1_impl="fused",
+         row_gather="pallas_bisect", cell_gather="pallas"),
 ]
 
 # Seeded randomized sweep over the legal cross-product (VERDICT r4 weak #6:
@@ -100,7 +107,7 @@ _DEFAULT_AXES = dict(
 _PADDED_AXES = dict(_DEFAULT_AXES, stage2=["flat80", "row128"])
 _CELL_AXES = dict(
     topk_impl=["topk", "bisect", "sort"],
-    s1_impl=["cells", "precat"],
+    s1_impl=["cells", "precat", "fused"],
     s1_select=["sortidx", "compact"],
     anchor_arith=[False, True],
     row_gather=["xla", "mxu", "pallas", "pallas_select", "pallas_full",

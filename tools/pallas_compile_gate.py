@@ -48,6 +48,7 @@ def build_cases():
     )
     from yolort_tpu.ops.pallas.nms_kernel import pallas_nms_mask
     from yolort_tpu.ops.pallas.qconv import qconv1x1, qconv3x3
+    from yolort_tpu.ops.pallas.s1_kernel import fused_cells_stage1
 
     rng = np.random.default_rng(0)
 
@@ -94,6 +95,13 @@ def build_cases():
 
     thr = 998277249  # f32 0.005 bits (the eval score threshold)
 
+    # s1 fused concat+stage-1 inputs: yolov5s@640 level geometry, bf16
+    s1_levels = [
+        jnp.asarray(rng.standard_normal((2, r, 255)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+        for r in (6400, 1600, 400)
+    ]
+
     return [
         # --- shipping production defaults ---
         ("nms_mask_k4096", True,
@@ -128,6 +136,9 @@ def build_cases():
          (xq1, wq1, sc, bi)),
         ("qconv3x3_bf16out", False,
          lambda a, b, c, d: qconv3x3(a, b, c, d), (xq3, wq3, sc3, bi3)),
+        ("s1_fused_concat_stage1", False,
+         lambda a, b, c: fused_cells_stage1([a, b, c], 3, 85),
+         tuple(s1_levels)),
     ]
 
 

@@ -319,7 +319,11 @@ def resolve_nms_config(cfg: NMSConfig) -> NMSConfig:
             # instead of relying on 'auto' falling through the dispatcher's
             # == 'precat' check (ADVICE r4).
             _hook = os.environ.get("YOLORT_S1_PRECAT")
-            upd["s1_impl"] = "precat" if _hook == "1" else "cells"
+            _fhook = os.environ.get("YOLORT_S1_FUSED")
+            if _fhook == "1":
+                upd["s1_impl"] = "fused"
+            else:
+                upd["s1_impl"] = "precat" if _hook == "1" else "cells"
         if cfg.s1_select == "auto":
             # measurement hook first (A/B harness: tools/experiments/
             # s1select.py), else pick by k1: the compaction's cost is its
@@ -928,11 +932,31 @@ def batched_postprocess_from_heads(
     if cfg.flatten_pad == "cell" and cfg.selection == "two_stage" and cfg.classes_per_anchor is None:
         levels = [o.reshape(o.shape[0], gs[0] * gs[1], o.shape[3])
                   for o, gs in zip(head_outputs, grid_sizes)]
-        cells = jnp.concatenate(
-            levels, axis=1,
-        )  # (B, n_cells, A*kw) — minor dim unchanged: copy, not relayout
-        per_anchor = None
-        if cfg.s1_impl == "precat":
+        cells = per_anchor = None
+        if cfg.s1_impl == "fused":
+            # ONE Pallas pass: each level block is written into its slice
+            # of the concatenated cells table while the segmented stage-1
+            # reductions run on the VMEM-resident block — the reduction
+            # costs no second HBM stream (ops/pallas/s1_kernel.py;
+            # bit-identical to the in-path stage-1, parity-tested).
+            from yolort_tpu.ops.pallas.s1_kernel import (
+                fused_cells_stage1,
+                s1_fused_mode,
+            )
+
+            _mode = s1_fused_mode()
+            if _mode is not None:
+                A, kw = cfg.num_anchors, 5 + cfg.num_classes
+                fused = fused_cells_stage1(
+                    levels, A, kw, interpret=_mode == "interpret"
+                )
+                if fused is not None:
+                    cells, per_anchor = fused
+        if cells is None:
+            cells = jnp.concatenate(
+                levels, axis=1,
+            )  # (B, n_cells, A*kw) — minor dim unchanged: copy, not relayout
+        if per_anchor is None and cfg.s1_impl == "precat":
             # stage-1 computed per level on the PRE-concat head outputs:
             # the 2A masked reductions read the same buffers the concat
             # copies, so XLA fuses them into the concat's read instead of
