@@ -99,6 +99,9 @@ def test_bench_row_failure_is_contained():
             "--skip-latency", "--skip-streaming", "--skip-eval-config",
             "--skip-int8",
             "--train-batch", "2", "--train-steps", "2",
+            # tiny P6 config, same as the all-rows test: without it the
+            # default P6@1280 rows run on CPU and blow the 900 s timeout
+            "--p6-size", "64", "--p6-batch", "2", "--p6-iters", "2",
         ],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
     )
