@@ -22,6 +22,14 @@ import sys
 import time
 
 
+def _opts():
+    """Measured default TPU compiler options (scoped-VMEM 32 MiB —
+    utils/compile_options.py carries the sweep table); None on CPU."""
+    from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+    return tpu_compiler_options()
+
+
 def calibrate_candidate_density(model, params, raw_u8, dtype, plan, target: int = 120):
     """Shift the head objectness bias so the score distribution produces a
     realistic above-threshold candidate load (random-init prior-prob biases
@@ -100,7 +108,7 @@ def run_config(model, params, raw, dtype, plan, iters, repeat):
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    bench_fn = jax.jit(chained)
+    bench_fn = jax.jit(chained, compiler_options=_opts())
     trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
     int(bench_fn(params, raw))
     int(trivial(raw))
@@ -140,7 +148,7 @@ def run_latency_device(model, params, raw, dtype, plan, n=30, repeat=5):
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    bench_fn = jax.jit(chained)
+    bench_fn = jax.jit(chained, compiler_options=_opts())
     trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
     int(bench_fn(params, raw))
     ts = []
@@ -188,7 +196,7 @@ def run_streaming_device(model, params, size, dtype, plan, batch, n_bufs=4,
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    bench_fn = jax.jit(chained)
+    bench_fn = jax.jit(chained, compiler_options=_opts())
     trivial = jax.jit(lambda f: jnp.sum(f[0, 0, 0, 0]))
     int(bench_fn(params, frames))
     ts = []
@@ -227,7 +235,7 @@ def run_latency(model, params, raw, dtype, plan, calls=100):
         det = model(params, canvas)
         return jnp.sum(det.num)
 
-    fn = jax.jit(one_pass)
+    fn = jax.jit(one_pass, compiler_options=_opts())
     trivial = jax.jit(lambda raw: jnp.sum(raw[0, 0, 0]))
     int(fn(params, raw))
     rtts = []

@@ -43,6 +43,7 @@ from yolort_tpu.utils import cast_floating
 VARIANTS = [
     ("baseline (no options)", None),
     ("scoped_vmem 32 MiB", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("scoped_vmem 40 MiB", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
     ("scoped_vmem 64 MiB", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("scoped_vmem 96 MiB", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     ("latency-hiding sched",

@@ -82,8 +82,11 @@ class YOLOv5:
             else:
                 params = model.init(jax.random.PRNGKey(seed))
         self.params = params
-        self._jit_infer = jax.jit(self._infer)
-        self._jit_infer_fixed = jax.jit(self._infer_fixed)
+        from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+        _opts = tpu_compiler_options()  # measured TPU default (utils/compile_options.py)
+        self._jit_infer = jax.jit(self._infer, compiler_options=_opts)
+        self._jit_infer_fixed = jax.jit(self._infer_fixed, compiler_options=_opts)
 
     # ------------------------------------------------------------------
     def _infer(self, params: Params, raw: jax.Array) -> Detections:

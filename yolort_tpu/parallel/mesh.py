@@ -55,10 +55,13 @@ def data_parallel_infer(model, mesh: Mesh):
     batch_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
+    from yolort_tpu.utils.compile_options import tpu_compiler_options
+
     return jax.jit(
         lambda params, images: model(params, images),
         in_shardings=(repl, batch_sharding),
         out_shardings=batch_sharding,
+        compiler_options=tpu_compiler_options(),
     )
 
 
@@ -70,8 +73,11 @@ def data_parallel_train_step(task, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P("data"))
 
+    from yolort_tpu.utils.compile_options import tpu_compiler_options
+
     return jax.jit(
         task.train_step,
         in_shardings=(repl, batch_sharding, batch_sharding, batch_sharding),
         out_shardings=(repl, repl),
+        compiler_options=tpu_compiler_options(),
     )

@@ -143,7 +143,11 @@ class AOTPredictor:
             self.exported = jexport.deserialize(zf.read("program.stablehlo"))
             with np.load(io.BytesIO(zf.read("params.npz"))) as data:
                 self.params = _unflatten({k: data[k] for k in data.files})
-        self._call = jax.jit(self.exported.call)
+        from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+        self._call = jax.jit(
+            self.exported.call, compiler_options=tpu_compiler_options()
+        )
 
     def __call__(self, raw_u8: np.ndarray):
         """raw_u8: (B, H, W, 3) uint8 frames matching the exported spec.

@@ -43,7 +43,9 @@ class StreamingPipeline:
             canvas = letterbox_batch(imgs, plan)
             return model(params, canvas)
 
-        self._fn = jax.jit(pipeline)
+        from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+        self._fn = jax.jit(pipeline, compiler_options=tpu_compiler_options())
 
     def warmup(self, iters: int = 2) -> None:
         dummy = jnp.zeros((self.batch_size, *self.input_hw, 3), jnp.uint8)

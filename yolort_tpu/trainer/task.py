@@ -118,4 +118,6 @@ class DefaultTask:
 
 def make_train_step(task: DefaultTask):
     """Returns the jitted single-device train step."""
-    return jax.jit(task.train_step)
+    from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+    return jax.jit(task.train_step, compiler_options=tpu_compiler_options())
