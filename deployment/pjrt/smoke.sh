@@ -21,6 +21,15 @@ fi
 [ -n "$PLUGIN" ] || { echo "FATAL: no PJRT plugin found"; exit 1; }
 echo "plugin: $PLUGIN"
 
+# Mirror the Python stack's measured TPU compiler default (PERF.md win 13,
+# utils/compile_options.py): on a real libtpu host the flag is read from the
+# environment at compile time; through the axon relay it is a no-op (the
+# relay compiles server-side) — the Python path passes it per-jit instead.
+VMEM_KIB="${YOLORT_XLA_VMEM_KIB:-40960}"
+if [ "$VMEM_KIB" != "0" ]; then
+  export XLA_FLAGS="${XLA_FLAGS:-} --xla_tpu_scoped_vmem_limit_kib=$VMEM_KIB"
+fi
+
 OUT="${TMPDIR:-/tmp}/yolort_pjrt_smoke"
 mkdir -p "$OUT"
 MODULE="$OUT/yolov5s_fixture_640.mlirbc"

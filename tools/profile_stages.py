@@ -23,7 +23,11 @@ _RTT = 0.0
 
 
 def timed(fn, *args, iters=10, warmup=2, label=""):
-    f = jax.jit(fn)
+    # compile each stage prefix with the SHIPPING compiler options so the
+    # stage deltas attribute the production program (PERF.md win 13)
+    from yolort_tpu.utils.compile_options import tpu_compiler_options
+
+    f = jax.jit(fn, compiler_options=tpu_compiler_options())
     t0 = time.perf_counter()
     float(f(*args))
     compile_s = time.perf_counter() - t0
